@@ -1,0 +1,112 @@
+"""Typed configuration for rainbow-tpu.
+
+Replaces the reference's 31 argparse flags (reference main.py:21-61) with a
+frozen dataclass whose defaults encode the canonical Rainbow hyperparameters,
+plus the data-efficient (Atari-100k) preset from reference README.md:25-36 as
+a first-class constructor. New TPU-native knobs (num_envs, mesh axes, dtype)
+have no reference equivalent — the reference is strictly single-env,
+single-device (SURVEY.md §2 "Parallelism").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RainbowConfig:
+    # Experiment
+    run_id: str = "default"            # reference main.py:22 --id
+    seed: int = 123                    # reference main.py:23 --seed
+    game: str = "pong"                 # reference main.py:25 --game
+    results_dir: str = "results"
+
+    # Budget / schedule
+    total_steps: int = int(50e6)       # reference main.py:26 --T-max (agent steps)
+    max_episode_length: int = int(108e3)  # reference main.py:27 (game frames)
+    learn_start: int = int(20e3)       # reference main.py:48 --learn-start
+    replay_frequency: int = 4          # reference main.py:36 --replay-frequency
+    target_update: int = int(8e3)      # reference main.py:41 --target-update
+    checkpoint_interval: int = 0       # reference main.py:56
+
+    # Observation
+    history_length: int = 4            # reference main.py:28
+    frame_size: int = 84               # implied, reference env.py:28
+
+    # Network
+    architecture: str = "canonical"    # reference main.py:29 ('canonical' | 'data-efficient')
+    hidden_size: int = 512             # reference main.py:30
+    noisy_std: float = 0.1             # reference main.py:31 --noisy-std (σ₀)
+    atoms: int = 51                    # reference main.py:32
+    v_min: float = -10.0               # reference main.py:33
+    v_max: float = 10.0                # reference main.py:34
+
+    # Replay
+    memory_capacity: int = int(1e6)    # reference main.py:35 (total across envs)
+    priority_exponent: float = 0.5     # reference main.py:37 (ω)
+    priority_weight: float = 0.4       # reference main.py:38 (initial β)
+    multi_step: int = 3                # reference main.py:39 (n)
+
+    # Optimisation
+    discount: float = 0.99             # reference main.py:40 (γ)
+    reward_clip: float = 1.0           # reference main.py:42 (0 disables)
+    learning_rate: float = 0.0000625   # reference main.py:43
+    adam_eps: float = 1.5e-4           # reference main.py:44
+    batch_size: int = 32               # reference main.py:46
+    norm_clip: float = 10.0            # reference main.py:47
+
+    # Evaluation
+    evaluation_interval: int = 100_000  # reference main.py:50
+    evaluation_episodes: int = 10       # reference main.py:51
+    evaluation_size: int = 500          # reference main.py:53 (validation-Q states)
+    eval_epsilon: float = 0.001         # reference agent.py:58
+
+    # TPU-native knobs (no reference equivalent)
+    num_envs: int = 64                 # batched-ALE engine width per host
+    compute_dtype: str = "float32"     # 'float32' | 'bfloat16' network compute
+    data_axis: str = "data"            # mesh axis name for learner DP
+    env_backend: str = "native"        # 'native' (C++ engine) | 'fake' (python fixture)
+    jit_learn: bool = True
+
+    # Persistence
+    model_path: Optional[str] = None   # reference main.py:35 --model (resume/eval)
+    memory_path: Optional[str] = None  # reference main.py:57 --memory
+
+    @property
+    def conv_output_size(self) -> int:
+        # reference model.py:58/63: 3136 (canonical) or 576 (data-efficient)
+        return {"canonical": 3136, "data-efficient": 576}[self.architecture]
+
+    @property
+    def capacity_per_env(self) -> int:
+        # Total capacity is split evenly across the env ring buffers.
+        return max(self.memory_capacity // max(self.num_envs, 1), 1)
+
+    def replace(self, **kw) -> "RainbowConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def canonical(**overrides) -> RainbowConfig:
+    """Canonical Rainbow preset: the reference's argparse defaults."""
+    return RainbowConfig(**overrides)
+
+
+def data_efficient(**overrides) -> RainbowConfig:
+    """Data-efficient Rainbow / Atari-100k preset (reference README.md:25-36)."""
+    base = dict(
+        target_update=2000,
+        total_steps=100_000,
+        learn_start=1600,
+        memory_capacity=100_000,
+        replay_frequency=1,
+        multi_step=20,
+        architecture="data-efficient",
+        hidden_size=256,
+        learning_rate=0.0001,
+        evaluation_interval=10_000,
+    )
+    base.update(overrides)
+    return RainbowConfig(**base)
+
+
+PRESETS = {"canonical": canonical, "data-efficient": data_efficient}

@@ -1,0 +1,350 @@
+// Batched environment engine — the TPU-native replacement for the
+// reference's per-frame Python↔C++ ALE chatter (reference env.py:9-95 drives
+// one ALE instance through ~6 ctypes calls per agent step; SURVEY.md §3.1).
+//
+// N environments step in lockstep across a persistent thread pool; one C call
+// advances every env by a full agent step (×4 action repeat with max-pool
+// over the last two raw frames — reference env.py:54-67), applies the
+// DeepMind episode semantics natively (≤30 random no-op starts env.py:43-47,
+// life-loss pseudo-terminals with single-no-op continuation and the lives>0
+// guard env.py:69-75, max-episode-frame cap env.py:14, train/eval toggle
+// env.py:80-85), and returns bilinear-resized 84×84 uint8 frames (the
+// cv2.INTER_LINEAR resize of env.py:28, done host-side so only 7KB/env/step
+// crosses PCIe to the TPU).
+//
+// Auto-reset contract (batched envs cannot reset between iterations the way
+// the reference's `if done: env.reset()` loop does): when a step triggers
+// done, the engine performs the reset *within the same call* and returns BOTH
+// frames — frames[env][0] = the step observation (terminal obs), and
+// frames[env][1] = the post-reset frame — plus reset_kind (0 none, 1
+// life-termination: keep frame stack and roll in the no-op frame, 2 full
+// reset: clear stack). The device-side frame-stack update applies them in
+// exactly the order the reference's state_buffer would see.
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+#include "games.h"
+
+namespace rainbow {
+namespace {
+
+constexpr int kOutH = 84;
+constexpr int kOutW = 84;
+
+// Precomputed bilinear taps for 210x160 -> 84x84 with half-pixel centres
+// (cv2.INTER_LINEAR convention: src = (dst + 0.5) * scale - 0.5).
+struct ResizePlan {
+  int y0[kOutH]; float wy[kOutH];
+  int x0[kOutW]; float wx[kOutW];
+  ResizePlan() {
+    const float sy = (float)kScreenH / kOutH, sx = (float)kScreenW / kOutW;
+    for (int i = 0; i < kOutH; ++i) {
+      float f = (i + 0.5f) * sy - 0.5f;
+      if (f < 0) f = 0;
+      int i0 = (int)f;
+      if (i0 > kScreenH - 2) i0 = kScreenH - 2;
+      y0[i] = i0; wy[i] = f - i0;
+    }
+    for (int j = 0; j < kOutW; ++j) {
+      float f = (j + 0.5f) * sx - 0.5f;
+      if (f < 0) f = 0;
+      int j0 = (int)f;
+      if (j0 > kScreenW - 2) j0 = kScreenW - 2;
+      x0[j] = j0; wx[j] = f - j0;
+    }
+  }
+};
+const ResizePlan g_plan;
+
+void resize_bilinear(const uint8_t* src, uint8_t* dst) {
+  for (int i = 0; i < kOutH; ++i) {
+    const uint8_t* r0 = src + g_plan.y0[i] * kScreenW;
+    const uint8_t* r1 = r0 + kScreenW;
+    const float fy = g_plan.wy[i];
+    for (int j = 0; j < kOutW; ++j) {
+      const int x = g_plan.x0[j];
+      const float fx = g_plan.wx[j];
+      const float top = r0[x] + fx * (r0[x + 1] - r0[x]);
+      const float bot = r1[x] + fx * (r1[x + 1] - r1[x]);
+      dst[i * kOutW + j] = (uint8_t)(top + fy * (bot - top) + 0.5f);
+    }
+  }
+}
+
+struct EnvSlot {
+  Game* game = nullptr;
+  Rng rng{0};
+  int lives = 0;               // life counter (reference env.py:21)
+  bool pending_full_reset = true;
+  int raw0[kScreenH * kScreenW];  // unused; kept for alignment clarity
+};
+
+class Engine {
+ public:
+  Engine(const char* game, int n_envs, uint64_t seed, int max_episode_frames,
+         int n_threads)
+      : n_envs_(n_envs),
+        max_frames_(max_episode_frames > 0 ? max_episode_frames : 1 << 30) {
+    envs_.resize(n_envs);
+    raw_a_.resize((size_t)n_envs * kScreenH * kScreenW);
+    raw_b_.resize((size_t)n_envs * kScreenH * kScreenW);
+    frame_counts_.assign(n_envs, 0);
+    frame_cap_hit_.assign(n_envs, false);
+    for (int e = 0; e < n_envs; ++e) {
+      envs_[e].game = make_game(game);
+      if (!envs_[e].game) { ok_ = false; return; }
+      envs_[e].rng = Rng(seed * 0x9e3779b9ULL + e * 1000003ULL);
+    }
+    n_actions_ = envs_[0].game->num_actions();
+    start_pool(n_threads > 0 ? n_threads
+                             : (int)std::thread::hardware_concurrency());
+  }
+
+  ~Engine() {
+    stop_pool();
+    for (auto& s : envs_) delete s.game;
+  }
+
+  bool ok() const { return ok_; }
+  int num_actions() const { return n_actions_; }
+  void set_training(bool t) { training_ = t; }
+
+  // Initial reset of every env; writes one 84x84 frame per env.
+  void reset_all(uint8_t* frames) {
+    parallel_for([&](int e) {
+      full_reset(e);
+      grab(e, frames + (size_t)e * kOutH * kOutW);
+    });
+  }
+
+  void step(const int32_t* actions, uint8_t* frames2, float* rewards,
+            uint8_t* dones, uint8_t* reset_kinds) {
+    parallel_for([&](int e) {
+      step_one(e, actions[e], frames2 + (size_t)e * 2 * kOutH * kOutW,
+               rewards + e, dones + e, reset_kinds + e);
+    });
+  }
+
+ private:
+  void grab(int e, uint8_t* out84) {
+    uint8_t* raw = raw_a_.data() + (size_t)e * kScreenH * kScreenW;
+    envs_[e].game->screen(raw);
+    resize_bilinear(raw, out84);
+  }
+
+  // One raw-frame act with the episode frame cap (ALE's
+  // max_num_frames_per_episode, reference env.py:14).
+  float raw_act(int e, int action) {
+    float r = envs_[e].game->act(action);
+    if (++frame_counts_[e] >= max_frames_) frame_cap_hit_[e] = true;
+    return r;
+  }
+  bool env_over(int e) const {
+    return envs_[e].game->game_over() || frame_cap_hit_[e];
+  }
+
+  void full_reset(int e) {
+    EnvSlot& s = envs_[e];
+    s.game->reset(s.rng.next());
+    frame_counts_[e] = 0;
+    frame_cap_hit_[e] = false;
+    // Up to 30 random no-op starts (reference env.py:43-47), re-resetting if
+    // the game somehow ends during them.
+    int noops = s.rng.below(30);
+    for (int i = 0; i < noops; ++i) {
+      raw_act(e, 0);
+      if (env_over(e)) {
+        s.game->reset(s.rng.next());
+        frame_counts_[e] = 0;
+        frame_cap_hit_[e] = false;
+      }
+    }
+    s.lives = s.game->lives();
+    s.pending_full_reset = false;
+  }
+
+  void step_one(int e, int action, uint8_t* frames2, float* reward,
+                uint8_t* done, uint8_t* reset_kind) {
+    EnvSlot& s = envs_[e];
+    uint8_t* obs = frames2;                       // slot 0: step observation
+    uint8_t* reset_frame = frames2 + kOutH * kOutW;  // slot 1: post-reset
+    float r = 0.0f;
+    bool d = false;
+    // ×4 action repeat, max-pool of the last two raw frames
+    // (reference env.py:54-67).
+    uint8_t* f2 = raw_b_.data() + (size_t)e * kScreenH * kScreenW;
+    uint8_t* f3 = raw_a_.data() + (size_t)e * kScreenH * kScreenW;
+    bool have2 = false, have3 = false;
+    for (int t = 0; t < 4; ++t) {
+      r += raw_act(e, action);
+      if (t == 2) { s.game->screen(f2); have2 = true; }
+      else if (t == 3) { s.game->screen(f3); have3 = true; }
+      if (env_over(e)) { d = true; break; }
+    }
+    if (have2 && have3) {
+      for (int i = 0; i < kScreenH * kScreenW; ++i)
+        f3[i] = f3[i] > f2[i] ? f3[i] : f2[i];
+    } else if (have2 && !have3) {
+      std::memcpy(f3, f2, kScreenH * kScreenW);
+    } else if (!have2 && !have3) {
+      std::memset(f3, 0, kScreenH * kScreenW);  // early break: zero frame,
+      // matching the reference's zero-initialised frame_buffer (env.py:56)
+    }
+    resize_bilinear(f3, obs);
+
+    // Life-loss pseudo-terminal in training mode (reference env.py:69-75).
+    uint8_t kind = 0;
+    bool life_term = false;
+    if (training_ && !d) {
+      int lives = s.game->lives();
+      if (lives < s.lives && lives > 0) {  // lives>0 guard (Q*bert)
+        life_term = true;
+        d = true;
+      }
+      s.lives = lives;
+    }
+    if (d) {
+      if (life_term) {
+        // Continue the episode with a single no-op (reference env.py:36-38).
+        raw_act(e, 0);
+        if (env_over(e)) {  // the no-op itself ended the game
+          full_reset(e);
+          kind = 2;
+        } else {
+          kind = 1;
+        }
+        grab(e, reset_frame);
+        s.lives = s.game->lives();
+      } else {
+        full_reset(e);
+        grab(e, reset_frame);
+        kind = 2;
+      }
+    }
+    *reward = r;
+    *done = d ? 1 : 0;
+    *reset_kind = kind;
+  }
+
+  // ---- persistent thread pool -------------------------------------------
+  template <typename F>
+  void parallel_for(F&& fn) {
+    if (workers_.empty()) {
+      for (int e = 0; e < n_envs_; ++e) fn(e);
+      return;
+    }
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      task_ = fn;
+      next_env_.store(0);
+      remaining_.store(n_envs_);
+      ++epoch_;
+    }
+    cv_.notify_all();
+    std::unique_lock<std::mutex> lk(mu_);
+    done_cv_.wait(lk, [&] { return remaining_.load() == 0; });
+  }
+
+  void start_pool(int n) {
+    n = std::max(1, std::min(n, n_envs_));
+    if (n <= 1) return;  // run inline
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] {
+        uint64_t seen = 0;
+        for (;;) {
+          std::function<void(int)> task;
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [&] { return stop_ || epoch_ != seen; });
+            if (stop_) return;
+            seen = epoch_;
+            task = task_;
+          }
+          for (;;) {
+            int e = next_env_.fetch_add(1);
+            if (e >= n_envs_) break;
+            task(e);
+            if (remaining_.fetch_sub(1) == 1) {
+              std::unique_lock<std::mutex> lk(mu_);
+              done_cv_.notify_all();
+            }
+          }
+        }
+      });
+    }
+  }
+
+  void stop_pool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+    workers_.clear();
+  }
+
+  int n_envs_;
+  int n_actions_ = 0;
+  int max_frames_;
+  bool ok_ = true;
+  std::atomic<bool> training_{true};
+  std::vector<EnvSlot> envs_;
+  std::vector<uint8_t> raw_a_, raw_b_;
+  std::vector<int> frame_counts_;
+  std::vector<char> frame_cap_hit_;  // char: vector<bool> is not thread-safe
+                                     // for concurrent per-env writes
+
+  std::vector<std::thread> workers_;
+  std::mutex mu_;
+  std::condition_variable cv_, done_cv_;
+  std::function<void(int)> task_;
+  std::atomic<int> next_env_{0};
+  std::atomic<int> remaining_{0};
+  uint64_t epoch_ = 0;
+  bool stop_ = false;
+};
+
+}  // namespace
+}  // namespace rainbow
+
+// ---------------------------------------------------------------------------
+// C API (ctypes binding surface — no pybind11 in this image)
+// ---------------------------------------------------------------------------
+extern "C" {
+
+void* renv_create(const char* game, int n_envs, uint64_t seed,
+                  int max_episode_frames, int n_threads) {
+  auto* eng = new rainbow::Engine(game, n_envs, seed, max_episode_frames,
+                                  n_threads);
+  if (!eng->ok()) { delete eng; return nullptr; }
+  return eng;
+}
+
+void renv_destroy(void* h) { delete static_cast<rainbow::Engine*>(h); }
+
+int renv_num_actions(void* h) {
+  return static_cast<rainbow::Engine*>(h)->num_actions();
+}
+
+void renv_set_training(void* h, int training) {
+  static_cast<rainbow::Engine*>(h)->set_training(training != 0);
+}
+
+void renv_reset_all(void* h, uint8_t* frames) {
+  static_cast<rainbow::Engine*>(h)->reset_all(frames);
+}
+
+void renv_step(void* h, const int32_t* actions, uint8_t* frames2,
+               float* rewards, uint8_t* dones, uint8_t* reset_kinds) {
+  static_cast<rainbow::Engine*>(h)->step(actions, frames2, rewards, dones,
+                                         reset_kinds);
+}
+
+}  // extern "C"

@@ -1,0 +1,401 @@
+// Native games: pong, breakout, space_invaders.
+//
+// Real, learnable arcade dynamics at ALE screen geometry with ALE-style
+// minimal action sets, lives and scoring — stand-ins for the ALE ROMs the
+// reference loads at env.py:18 (none are shipped in this image). Dynamics are
+// deterministic per seed.
+#include "games.h"
+
+#include <algorithm>
+#include <cmath>
+#include <string>
+
+namespace rainbow {
+
+namespace {
+
+constexpr uint8_t kBg = 0;
+constexpr uint8_t kDim = 90;
+constexpr uint8_t kMid = 150;
+constexpr uint8_t kBright = 255;
+
+// ---------------------------------------------------------------------------
+// Pong: first to 21. Minimal action set (6): NOOP FIRE UP DOWN UPFIRE
+// DOWNFIRE (ALE pong ordering: NOOP FIRE RIGHT LEFT RIGHTFIRE LEFTFIRE where
+// RIGHT=up, LEFT=down for the right-hand paddle). lives()==0 — pong has no
+// life counter in ALE, so the wrapper's life-loss logic stays inert exactly
+// as with the reference's `lives > 0` guard (reference env.py:72).
+// ---------------------------------------------------------------------------
+class Pong final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    score_me_ = score_cpu_ = 0;
+    me_y_ = cpu_y_ = 96.0f;
+    over_ = false;
+    serve(rng_.below(2) == 0);
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    float dy = 0.0f;
+    if (action == 2 || action == 4) dy = -kPaddleSpeed;
+    if (action == 3 || action == 5) dy = kPaddleSpeed;
+    me_y_ = clampy(me_y_ + dy);
+
+    // CPU paddle tracks the ball with capped speed (beatable).
+    float target = by_ - kPaddleH / 2 + 1;
+    float cdy = std::clamp(target - cpu_y_, -kCpuSpeed, kCpuSpeed);
+    cpu_y_ = clampy(cpu_y_ + cdy);
+
+    float reward = 0.0f;
+    bx_ += bvx_;
+    by_ += bvy_;
+    if (by_ < kTop) { by_ = kTop; bvy_ = -bvy_; }
+    if (by_ > kBot - kBallH) { by_ = kBot - kBallH; bvy_ = -bvy_; }
+    // Paddle collisions.
+    if (bvx_ > 0 && bx_ + kBallW >= kMeX && bx_ + kBallW <= kMeX + 4 &&
+        by_ + kBallH >= me_y_ && by_ <= me_y_ + kPaddleH) {
+      bounce(me_y_);
+      bvx_ = -std::abs(bvx_);
+      bx_ = kMeX - kBallW;
+    } else if (bvx_ < 0 && bx_ <= kCpuX + kPaddleW && bx_ >= kCpuX - 2 &&
+               by_ + kBallH >= cpu_y_ && by_ <= cpu_y_ + kPaddleH) {
+      bounce(cpu_y_);
+      bvx_ = std::abs(bvx_);
+      bx_ = kCpuX + kPaddleW;
+    }
+    // Scoring.
+    if (bx_ > kScreenW) {
+      ++score_cpu_; reward = -1.0f; serve(true);
+    } else if (bx_ < -kBallW) {
+      ++score_me_; reward = 1.0f; serve(false);
+    }
+    if (score_me_ >= 21 || score_cpu_ >= 21) over_ = true;
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    c.rect(24, 0, 10, kScreenW, kDim);            // score band
+    c.rect(kTop - 4, 0, 4, kScreenW, kMid);       // walls
+    c.rect(kBot, 0, 4, kScreenW, kMid);
+    // score pips
+    for (int i = 0; i < std::min(score_cpu_, 21); ++i)
+      c.rect(26, 8 + i * 3, 6, 2, kBright);
+    for (int i = 0; i < std::min(score_me_, 21); ++i)
+      c.rect(26, 90 + i * 3, 6, 2, kBright);
+    c.rect((int)cpu_y_, kCpuX, kPaddleH, kPaddleW, kMid);
+    c.rect((int)me_y_, kMeX, kPaddleH, kPaddleW, kBright);
+    c.rect((int)by_, (int)bx_, kBallH, kBallW, kBright);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return 0; }
+  int num_actions() const override { return 6; }
+
+ private:
+  static constexpr float kPaddleSpeed = 4.0f;
+  static constexpr float kCpuSpeed = 2.4f;
+  static constexpr int kPaddleH = 16, kPaddleW = 4;
+  static constexpr int kBallH = 4, kBallW = 2;
+  static constexpr int kTop = 38, kBot = 194;
+  static constexpr int kMeX = 140, kCpuX = 16;
+
+  void serve(bool toward_me) {
+    bx_ = 80.0f; by_ = 90.0f + rng_.below(30);
+    bvx_ = toward_me ? 2.0f : -2.0f;
+    bvy_ = (rng_.below(2) ? 1.0f : -1.0f) * (0.7f + rng_.uniform());
+  }
+  void bounce(float paddle_y) {
+    // Angle depends on hit position; slight speed-up each return.
+    float rel = (by_ + kBallH / 2.0f - paddle_y) / kPaddleH - 0.5f;
+    bvy_ = rel * 5.0f;
+    float speed = std::min(std::abs(bvx_) + 0.15f, 4.0f);
+    bvx_ = bvx_ > 0 ? speed : -speed;
+  }
+  float clampy(float y) const {
+    return std::clamp(y, (float)kTop, (float)(kBot - kPaddleH));
+  }
+
+  Rng rng_{0};
+  float me_y_ = 96, cpu_y_ = 96, bx_ = 80, by_ = 105, bvx_ = 2, bvy_ = 1;
+  int score_me_ = 0, score_cpu_ = 0;
+  bool over_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Breakout: 5 lives, FIRE to serve, 6x18 brick wall, row-scored 1/1/4/4/7/7.
+// Minimal action set (4): NOOP FIRE RIGHT LEFT (matches ALE breakout).
+// ---------------------------------------------------------------------------
+class Breakout final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 5;
+    over_ = false;
+    launched_ = false;
+    paddle_x_ = 80.0f;
+    std::fill(std::begin(bricks_), std::end(bricks_), 1);
+    place_ball();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    if (action == 2) paddle_x_ += kPaddleSpeed;
+    if (action == 3) paddle_x_ -= kPaddleSpeed;
+    paddle_x_ = std::clamp(paddle_x_, 8.0f, (float)(kScreenW - 8 - kPaddleW));
+    if (!launched_) {
+      place_ball();
+      if (action == 1) {  // FIRE serves
+        launched_ = true;
+        bvx_ = (rng_.below(2) ? 1.0f : -1.0f) * 1.3f;
+        bvy_ = -2.0f;
+      }
+      return 0.0f;
+    }
+    float reward = 0.0f;
+    bx_ += bvx_;
+    by_ += bvy_;
+    if (bx_ < 8) { bx_ = 8; bvx_ = -bvx_; }
+    if (bx_ > kScreenW - 8 - kBall) { bx_ = kScreenW - 8 - kBall; bvx_ = -bvx_; }
+    if (by_ < kCeiling) { by_ = kCeiling; bvy_ = std::abs(bvy_); }
+    // Brick collisions (ball centre cell).
+    int col = (int)((bx_ + kBall / 2 - kWallX) / kBrickW);
+    int row = (int)((by_ - kWallY) / kBrickH);
+    if (row >= 0 && row < kRows && col >= 0 && col < kCols &&
+        bricks_[row * kCols + col]) {
+      bricks_[row * kCols + col] = 0;
+      bvy_ = -bvy_;
+      reward = kRowScore[row];
+      ++hits_;
+      if (hits_ == 4 || hits_ == 12)  // classic speed-ups
+        bvy_ *= 1.25f;
+      if (std::all_of(std::begin(bricks_), std::end(bricks_),
+                      [](uint8_t b) { return !b; })) {
+        std::fill(std::begin(bricks_), std::end(bricks_), 1);  // second wall
+      }
+    }
+    // Paddle collision.
+    if (bvy_ > 0 && by_ + kBall >= kPaddleY && by_ + kBall <= kPaddleY + 6 &&
+        bx_ + kBall >= paddle_x_ && bx_ <= paddle_x_ + kPaddleW) {
+      float rel = (bx_ + kBall / 2.0f - paddle_x_) / kPaddleW - 0.5f;
+      bvx_ = rel * 4.0f;
+      bvy_ = -std::abs(bvy_);
+      by_ = kPaddleY - kBall;
+    }
+    // Life loss.
+    if (by_ > kScreenH) {
+      --lives_;
+      launched_ = false;
+      if (lives_ <= 0) over_ = true;
+    }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    c.rect(17, 0, 8, kScreenW, kDim);  // score band
+    for (int i = 0; i < lives_; ++i) c.rect(18, 8 + 6 * i, 5, 4, kBright);
+    c.rect(kCeiling - 4, 0, 4, kScreenW, kMid);   // ceiling
+    c.rect(kCeiling, 0, kScreenH - kCeiling, 8, kMid);  // side walls
+    c.rect(kCeiling, kScreenW - 8, kScreenH - kCeiling, 8, kMid);
+    for (int r = 0; r < kRows; ++r)
+      for (int cidx = 0; cidx < kCols; ++cidx)
+        if (bricks_[r * kCols + cidx])
+          c.rect(kWallY + r * kBrickH, kWallX + cidx * kBrickW,
+                 kBrickH - 1, kBrickW - 1, (uint8_t)(200 - r * 18));
+    c.rect(kPaddleY, (int)paddle_x_, 4, kPaddleW, kBright);
+    if (launched_ || true) c.rect((int)by_, (int)bx_, kBall, kBall, kBright);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 4; }
+
+ private:
+  static constexpr int kRows = 6, kCols = 18;
+  static constexpr int kBrickW = 8, kBrickH = 6;
+  static constexpr int kWallX = 8, kWallY = 57;
+  static constexpr int kCeiling = 32;
+  static constexpr int kPaddleY = 189, kPaddleW = 16;
+  static constexpr int kBall = 3;
+  static constexpr float kPaddleSpeed = 4.0f;
+  static constexpr float kRowScore[kRows] = {7, 7, 4, 4, 1, 1};
+
+  void place_ball() {
+    bx_ = paddle_x_ + kPaddleW / 2.0f;
+    by_ = kPaddleY - kBall - 1;
+    bvx_ = bvy_ = 0.0f;
+  }
+
+  Rng rng_{0};
+  uint8_t bricks_[kRows * kCols] = {};
+  float paddle_x_ = 80, bx_ = 0, by_ = 0, bvx_ = 0, bvy_ = 0;
+  int lives_ = 5, hits_ = 0;
+  bool over_ = false, launched_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Space Invaders: 3 lives, 6x6 alien grid, bombs, row-scored 30..5.
+// Minimal action set (6): NOOP FIRE RIGHT LEFT RIGHTFIRE LEFTFIRE.
+// ---------------------------------------------------------------------------
+class SpaceInvaders final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 3;
+    over_ = false;
+    player_x_ = 80.0f;
+    shot_y_ = -1;
+    for (auto& b : bombs_) b.y = -1;
+    new_wave();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    ++frame_;
+    bool fire = action == 1 || action == 4 || action == 5;
+    if (action == 2 || action == 4) player_x_ += 2.0f;
+    if (action == 3 || action == 5) player_x_ -= 2.0f;
+    player_x_ = std::clamp(player_x_, 8.0f, (float)(kScreenW - 8 - kPlayerW));
+
+    float reward = 0.0f;
+    // Player shot (one in flight).
+    if (fire && shot_y_ < 0) {
+      shot_y_ = kPlayerY - 2;
+      shot_x_ = (int)(player_x_ + kPlayerW / 2);
+    }
+    if (shot_y_ >= 0) {
+      shot_y_ -= 4;
+      if (shot_y_ < kTopBand) shot_y_ = -1;
+      else {
+        int hit = alien_at(shot_x_, shot_y_);
+        if (hit >= 0) {
+          alive_[hit] = 0;
+          --n_alive_;
+          reward = kRowScore[hit / kGridW];
+          shot_y_ = -1;
+          if (n_alive_ == 0) new_wave();
+        }
+      }
+    }
+    // Alien march: step every `pace` frames, faster as ranks thin.
+    int pace = 2 + n_alive_ / 6;
+    if (frame_ % pace == 0) {
+      int dir = march_right_ ? 1 : -1;
+      grid_x_ += dir;
+      if (grid_x_ < 8 || grid_x_ + span_w() > kScreenW - 8) {
+        march_right_ = !march_right_;
+        grid_y_ += 4;
+        if (grid_y_ + span_h() >= kPlayerY) over_ = true;  // invasion
+      }
+    }
+    // Bombs from random live aliens.
+    if (rng_.below(24) == 0) drop_bomb();
+    for (auto& b : bombs_) {
+      if (b.y < 0) continue;
+      b.y += 2;
+      if (b.y > kScreenH - 12) { b.y = -1; continue; }
+      if (b.y + 3 >= kPlayerY && b.y <= kPlayerY + kPlayerH &&
+          b.x >= player_x_ - 1 && b.x <= player_x_ + kPlayerW + 1) {
+        b.y = -1;
+        --lives_;
+        if (lives_ <= 0) over_ = true;
+      }
+    }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    c.rect(12, 0, 8, kScreenW, kDim);  // score band
+    for (int i = 0; i < lives_; ++i) c.rect(13, 8 + 7 * i, 6, 5, kBright);
+    for (int a = 0; a < kGridW * kGridH; ++a) {
+      if (!alive_[a]) continue;
+      int r = a / kGridW, cc = a % kGridW;
+      c.rect(grid_y_ + r * kCellH, grid_x_ + cc * kCellW, kAlienH, kAlienW,
+             (uint8_t)(220 - r * 20));
+    }
+    if (shot_y_ >= 0) c.rect(shot_y_, shot_x_, 4, 1, kBright);
+    for (const auto& b : bombs_)
+      if (b.y >= 0) c.rect(b.y, b.x, 4, 1, kMid);
+    c.rect(kPlayerY, (int)player_x_, kPlayerH, kPlayerW, kBright);
+    c.rect(kScreenH - 6, 0, 6, kScreenW, kDim);  // ground
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 6; }
+
+ private:
+  static constexpr int kGridW = 6, kGridH = 6;
+  static constexpr int kCellW = 16, kCellH = 14;
+  static constexpr int kAlienW = 10, kAlienH = 8;
+  static constexpr int kPlayerY = 185, kPlayerW = 10, kPlayerH = 8;
+  static constexpr int kTopBand = 24;
+  static constexpr float kRowScore[kGridH] = {30, 25, 20, 15, 10, 5};
+  struct Bomb { int x = 0, y = -1; };
+
+  int span_w() const { return (kGridW - 1) * kCellW + kAlienW; }
+  int span_h() const { return (kGridH - 1) * kCellH + kAlienH; }
+  int alien_at(int x, int y) const {
+    for (int a = 0; a < kGridW * kGridH; ++a) {
+      if (!alive_[a]) continue;
+      int r = a / kGridW, cc = a % kGridW;
+      int ay = grid_y_ + r * kCellH, ax = grid_x_ + cc * kCellW;
+      if (x >= ax && x < ax + kAlienW && y >= ay && y < ay + kAlienH) return a;
+    }
+    return -1;
+  }
+  void drop_bomb() {
+    if (n_alive_ == 0) return;
+    int pick = rng_.below(n_alive_), seen = 0;
+    for (int a = 0; a < kGridW * kGridH; ++a) {
+      if (!alive_[a]) continue;
+      if (seen++ == pick) {
+        for (auto& b : bombs_) {
+          if (b.y < 0) {
+            b.x = grid_x_ + (a % kGridW) * kCellW + kAlienW / 2;
+            b.y = grid_y_ + (a / kGridW) * kCellH + kAlienH;
+            return;
+          }
+        }
+        return;
+      }
+    }
+  }
+  void new_wave() {
+    std::fill(std::begin(alive_), std::end(alive_), 1);
+    n_alive_ = kGridW * kGridH;
+    grid_x_ = 24;
+    grid_y_ = 40;
+    march_right_ = true;
+  }
+
+  Rng rng_{0};
+  uint8_t alive_[kGridW * kGridH] = {};
+  Bomb bombs_[4];
+  float player_x_ = 80;
+  int shot_x_ = 0, shot_y_ = -1;
+  int grid_x_ = 24, grid_y_ = 40, n_alive_ = 36, lives_ = 3, frame_ = 0;
+  bool march_right_ = true, over_ = false;
+};
+
+}  // namespace
+
+Game* make_game(const char* name) {
+  std::string g(name);
+  if (g == "pong") return new Pong();
+  if (g == "breakout") return new Breakout();
+  if (g == "space_invaders") return new SpaceInvaders();
+  return nullptr;
+}
+
+}  // namespace rainbow

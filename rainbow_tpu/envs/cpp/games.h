@@ -1,0 +1,64 @@
+// Built-in native arcade games for the batched environment engine.
+//
+// The reference depends on the third-party ALE C++ emulator via atari_py
+// (reference env.py:12-18); this deployment image has no ALE and no ROMs, so
+// the engine provides first-class native games implementing the same
+// interface the wrapper needs: act(raw-frame), grayscale screen, lives,
+// game_over, reset. Games render to the ALE screen geometry (210x160
+// grayscale) and expose ALE-style minimal action sets so every layer above
+// (preprocessing, DeepMind semantics, replay, agent) is exercised
+// identically to an ALE build.
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+
+namespace rainbow {
+
+constexpr int kScreenH = 210;
+constexpr int kScreenW = 160;
+
+// splitmix64 — small deterministic per-env RNG.
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed + 0x9e3779b97f4a7c15ULL) {}
+  uint64_t next() {
+    uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+  }
+  // uniform integer in [0, n)
+  int below(int n) { return static_cast<int>(next() % static_cast<uint64_t>(n)); }
+  float uniform() { return (next() >> 40) * (1.0f / (1 << 24)); }
+};
+
+class Game {
+ public:
+  virtual ~Game() = default;
+  virtual void reset(uint64_t seed) = 0;
+  // Advance one raw frame with a minimal-action-set index; returns reward.
+  virtual float act(int action) = 0;
+  virtual void screen(uint8_t* out) const = 0;  // 210*160 grayscale
+  virtual bool game_over() const = 0;
+  virtual int lives() const = 0;
+  virtual int num_actions() const = 0;
+};
+
+// Shared drawing helpers over a 210x160 buffer.
+struct Canvas {
+  uint8_t px[kScreenH * kScreenW];
+  void clear(uint8_t v) { std::memset(px, v, sizeof(px)); }
+  void rect(int y, int x, int h, int w, uint8_t v) {
+    if (y < 0) { h += y; y = 0; }
+    if (x < 0) { w += x; x = 0; }
+    if (y + h > kScreenH) h = kScreenH - y;
+    if (x + w > kScreenW) w = kScreenW - x;
+    for (int r = 0; r < h; ++r)
+      std::memset(px + (y + r) * kScreenW + x, v, w > 0 ? w : 0);
+  }
+};
+
+Game* make_game(const char* name);
+
+}  // namespace rainbow

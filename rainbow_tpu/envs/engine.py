@@ -1,0 +1,107 @@
+"""ctypes binding to the C++ batched environment engine (librainbow_env.so).
+
+The native engine replaces the reference's single-ALE-instance Python wrapper
+(reference env.py:9-95) with N lockstep environments behind one call per
+agent step. See envs/cpp/engine.cc for the auto-reset contract. This module
+also auto-builds the .so on first import if the checkout is fresh.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Tuple
+
+import numpy as np
+
+_CPP_DIR = os.path.join(os.path.dirname(__file__), "cpp")
+_LIB_PATH = os.path.join(_CPP_DIR, "librainbow_env.so")
+
+GAMES = ("pong", "breakout", "space_invaders")
+FRAME = 84
+
+
+def _load_lib() -> ctypes.CDLL:
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _CPP_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.renv_create.restype = ctypes.c_void_p
+    lib.renv_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
+    lib.renv_destroy.argtypes = [ctypes.c_void_p]
+    lib.renv_num_actions.argtypes = [ctypes.c_void_p]
+    lib.renv_num_actions.restype = ctypes.c_int
+    lib.renv_set_training.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.renv_reset_all.argtypes = [ctypes.c_void_p, u8p]
+    lib.renv_step.argtypes = [ctypes.c_void_p, i32p, u8p, f32p, u8p, u8p]
+    return lib
+
+
+_lib = None
+
+
+class BatchedEnv:
+    """N native environments stepped in lockstep.
+
+    step(actions) -> (frames, rewards, dones, reset_kinds) where frames is
+    uint8 (N, 2, 84, 84): slot 0 the step observation (max-pooled over the
+    last two raw frames of the ×4 action repeat), slot 1 the post-reset frame
+    (valid iff reset_kind > 0). reset_kind: 0 = no reset, 1 = life-loss
+    continuation (keep frame stack), 2 = full reset (clear frame stack).
+    Rewards are raw (unclipped) sums over the action repeat, matching
+    reference env.py:54-67.
+    """
+
+    def __init__(self, game: str, num_envs: int, seed: int,
+                 max_episode_length: int = int(108e3), n_threads: int = 0,
+                 training: bool = True):
+        global _lib
+        if _lib is None:
+            _lib = _load_lib()
+        self._lib = _lib
+        self.num_envs = num_envs
+        self.game = game
+        self._h = self._lib.renv_create(game.encode(), num_envs, seed,
+                                        max_episode_length, n_threads)
+        if not self._h:
+            raise ValueError(f"unknown game {game!r}; have {GAMES}")
+        self.action_space = self._lib.renv_num_actions(self._h)
+        self.set_training(training)
+        # Preallocated output buffers (written in-place by C++).
+        self._frames = np.empty((num_envs, 2, FRAME, FRAME), np.uint8)
+        self._rewards = np.empty((num_envs,), np.float32)
+        self._dones = np.empty((num_envs,), np.uint8)
+        self._kinds = np.empty((num_envs,), np.uint8)
+
+    def set_training(self, training: bool) -> None:
+        """Life-loss terminals on/off (reference env.py:80-85)."""
+        self._lib.renv_set_training(self._h, int(training))
+
+    def reset_all(self) -> np.ndarray:
+        """Full reset of every env; returns uint8 (N, 84, 84) initial frames."""
+        out = np.empty((self.num_envs, FRAME, FRAME), np.uint8)
+        self._lib.renv_reset_all(self._h, out)
+        return out
+
+    def step(self, actions: np.ndarray
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        actions = np.ascontiguousarray(actions, np.int32)
+        assert actions.shape == (self.num_envs,)
+        self._lib.renv_step(self._h, actions, self._frames, self._rewards,
+                            self._dones, self._kinds)
+        return self._frames, self._rewards, self._dones, self._kinds
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.renv_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

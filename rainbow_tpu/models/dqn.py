@@ -1,0 +1,118 @@
+"""C51 dueling DQN with noisy heads — pure-functional JAX, NHWC/TPU layout.
+
+Capability parity with the reference network (reference model.py:49-85):
+both torsos — 'canonical' 32c8s4→64c4s2→64c3s1 (flat 3136) and
+'data-efficient' 32c5s5→64c5s5 (flat 576), valid padding, ReLU
+(reference model.py:55-63); dueling value/advantage streams, each a 2-layer
+NoisyLinear MLP (reference model.py:64-67, 72-73); per-atom combine
+q = v + a − mean_a(a) (reference model.py:74-75); (log-)softmax over the atom
+axis (reference model.py:76-79).
+
+TPU-native departures:
+* NHWC activations + HWIO kernels (XLA's preferred TPU conv layout) instead of
+  torch NCHW.
+* Noise comes from PRNG keys threaded through ``apply`` (see models/noisy.py):
+  one key per noisy layer, split from a single layer key; ``noise_key=None``
+  is eval mode (μ only).
+* Optional bfloat16 compute with float32 params and a float32 softmax.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rainbow_tpu.models.noisy import init_noisy_params, noisy_linear
+
+# (out_channels, kernel, stride) per torso — reference model.py:55-63.
+ARCHS = {
+    "canonical": ((32, 8, 4), (64, 4, 2), (64, 3, 1)),
+    "data-efficient": ((32, 5, 5), (64, 5, 5)),
+}
+
+
+def _conv_init(key, kh, kw, cin, cout, dtype):
+    # U(±1/√fan_in) for weight and bias — same regime as torch's default
+    # Conv2d init that the reference relies on implicitly.
+    fan_in = kh * kw * cin
+    bound = 1.0 / fan_in ** 0.5
+    k_w, k_b = jax.random.split(key)
+    w = jax.random.uniform(k_w, (kh, kw, cin, cout), dtype, -bound, bound)
+    b = jax.random.uniform(k_b, (cout,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_dqn_params(key: jax.Array, cfg, action_space: int,
+                    dtype=jnp.float32) -> dict:
+    """Initialise all network params as a nested dict pytree."""
+    arch = ARCHS[cfg.architecture]
+    keys = jax.random.split(key, len(arch) + 4)
+    convs = []
+    cin = cfg.history_length
+    for i, (cout, k, _s) in enumerate(arch):
+        convs.append(_conv_init(keys[i], k, k, cin, cout, dtype))
+        cin = cout
+    flat = cfg.conv_output_size
+    h = cfg.hidden_size
+    # Four noisy layers — reference model.py:64-67.
+    return {
+        "convs": convs,
+        "fc_h_v": init_noisy_params(keys[-4], flat, h, cfg.noisy_std, dtype),
+        "fc_h_a": init_noisy_params(keys[-3], flat, h, cfg.noisy_std, dtype),
+        "fc_z_v": init_noisy_params(keys[-2], h, cfg.atoms, cfg.noisy_std, dtype),
+        "fc_z_a": init_noisy_params(keys[-1], h, action_space * cfg.atoms,
+                                    cfg.noisy_std, dtype),
+    }
+
+
+def _torso(params, cfg, x: jax.Array) -> jax.Array:
+    """Conv stack over NHWC input (B, 84, 84, history) → (B, flat)."""
+    arch = ARCHS[cfg.architecture]
+    for p, (_c, _k, stride) in zip(params["convs"], arch):
+        x = jax.lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype), (stride, stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(x + p["b"].astype(x.dtype))
+    # Flatten in NCHW order (transpose first) so the flat feature indexing is
+    # layout-independent: (B, H', W', C) -> (B, C, H', W') -> (B, C*H'*W').
+    x = jnp.transpose(x, (0, 3, 1, 2))
+    return x.reshape(x.shape[0], -1)
+
+
+def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
+              noise_key: Optional[jax.Array] = None,
+              log: bool = False) -> jax.Array:
+    """Forward pass: (B, 84, 84, history) NHWC float → (B, A, atoms).
+
+    Returns atom probabilities (softmax) or log-probabilities (log=True, the
+    loss path) — reference model.py:69-80. ``noise_key`` drives all four
+    noisy layers (split 4-ways); None = eval/μ-only mode.
+    """
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    x = x.astype(compute_dtype)
+    feat = _torso(params, cfg, x)
+    if noise_key is None:
+        k_hv = k_ha = k_zv = k_za = None
+    else:
+        k_hv, k_ha, k_zv, k_za = jax.random.split(noise_key, 4)
+    v = noisy_linear(params["fc_z_v"],
+                     jax.nn.relu(noisy_linear(params["fc_h_v"], feat, k_hv)),
+                     k_zv)
+    a = noisy_linear(params["fc_z_a"],
+                     jax.nn.relu(noisy_linear(params["fc_h_a"], feat, k_ha)),
+                     k_za)
+    v = v.reshape(-1, 1, cfg.atoms)
+    a = a.reshape(-1, action_space, cfg.atoms)
+    q = v + a - a.mean(axis=1, keepdims=True)  # dueling combine, model.py:74-75
+    q = q.astype(jnp.float32)  # softmax in f32 regardless of compute dtype
+    if log:
+        return jax.nn.log_softmax(q, axis=2)
+    return jax.nn.softmax(q, axis=2)
+
+
+def q_values(params: dict, cfg, action_space: int, support: jax.Array,
+             x: jax.Array, noise_key: Optional[jax.Array] = None) -> jax.Array:
+    """Expected Q per action: Σ_z z·p — reference agent.py:55."""
+    probs = apply_dqn(params, cfg, action_space, x, noise_key)
+    return (probs * support).sum(axis=2)
