@@ -1,0 +1,154 @@
+"""Benchmark: batched actor-learner throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+metric = aggregate env-steps/s of the batched actor path (fused XLA actor
+program + C++ batched engine). vs_baseline = speedup over the
+reference-architecture loop (single env, batch-1 act, per-step host
+dispatches — the shape of reference main.py:146-158) measured on the same
+hardware in the same process. Learner updates/s is measured too and reported
+on stderr.
+
+Env knobs: BENCH_ENVS (default 128), BENCH_ITERS (default 60),
+BENCH_GAME (default pong), BENCH_PLATFORM (force e.g. cpu).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import rainbow_tpu  # noqa: E402
+from rainbow_tpu import agent as ag  # noqa: E402
+from rainbow_tpu.envs.engine import BatchedEnv  # noqa: E402
+from rainbow_tpu.ops.preprocess import init_framestack, to_network_input  # noqa: E402
+from rainbow_tpu.replay import prioritized as rp  # noqa: E402
+from rainbow_tpu.train import actor_step, learner_round  # noqa: E402
+
+
+def info(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_batched(cfg, game, num_envs, iters):
+    env = BatchedEnv(game, num_envs, seed=1)
+    A = env.action_space
+    agent = ag.init_agent(jax.random.key(0), cfg, A)
+    rep = rp.init_replay(num_envs, cfg.capacity_per_env, cfg.frame_size)
+    stack = init_framestack(num_envs, cfg.history_length,
+                            jnp.asarray(env.reset_all()))
+    actions = ag.act(agent.params, cfg, A, to_network_input(stack),
+                     agent.noise_key)
+    zeros_kind = jnp.zeros((num_envs,), jnp.uint8)
+
+    def one_iter(actions, stack, rep):
+        acts_np = np.asarray(actions)
+        frames2, rewards, dones, kinds = env.step(acts_np)
+        return actor_step(agent.params, agent.noise_key, cfg, A, stack, rep,
+                          actions, jnp.asarray(frames2[:, 0]),
+                          jnp.asarray(frames2[:, 1]), jnp.asarray(rewards),
+                          jnp.asarray(dones.astype(bool)), jnp.asarray(kinds))
+
+    # warmup (compile)
+    for _ in range(3):
+        actions, stack, rep = one_iter(actions, stack, rep)
+    jax.block_until_ready(actions)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        actions, stack, rep = one_iter(actions, stack, rep)
+    jax.block_until_ready(actions)
+    dt = time.perf_counter() - t0
+    env.close()
+    return num_envs * iters / dt, (agent, rep, A)
+
+
+def bench_single_env_reference_style(cfg, game, steps):
+    """The reference's architecture: one env, batch-1 act, device sync every
+    step (reference main.py:146-158, agent.py:53-55)."""
+    env = BatchedEnv(game, 1, seed=2)
+    A = env.action_space
+    agent = ag.init_agent(jax.random.key(1), cfg, A)
+    rep = rp.init_replay(1, 4096, cfg.frame_size)
+    stack = init_framestack(1, cfg.history_length,
+                            jnp.asarray(env.reset_all()))
+    actions = ag.act(agent.params, cfg, A, to_network_input(stack),
+                     agent.noise_key)
+    # warmup/compile
+    frames2, rewards, dones, kinds = env.step(np.asarray(actions))
+    actions, stack, rep = actor_step(
+        agent.params, agent.noise_key, cfg, A, stack, rep, actions,
+        jnp.asarray(frames2[:, 0]), jnp.asarray(frames2[:, 1]),
+        jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+        jnp.asarray(kinds))
+    jax.block_until_ready(actions)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        acts_np = np.asarray(actions)  # per-step device→host sync
+        frames2, rewards, dones, kinds = env.step(acts_np)
+        actions, stack, rep = actor_step(
+            agent.params, agent.noise_key, cfg, A, stack, rep, actions,
+            jnp.asarray(frames2[:, 0]), jnp.asarray(frames2[:, 1]),
+            jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+            jnp.asarray(kinds))
+    jax.block_until_ready(actions)
+    dt = time.perf_counter() - t0
+    env.close()
+    return steps / dt
+
+
+def bench_learner(cfg, agent, rep, A, rounds=5, learns_per_round=8):
+    key = jax.random.key(5)
+    agent, rep, loss = learner_round(agent, rep, cfg, A, learns_per_round,
+                                     jnp.float32(0.5), key)  # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(rounds):
+        agent, rep, loss = learner_round(agent, rep, cfg, A,
+                                         learns_per_round, jnp.float32(0.5),
+                                         jax.random.key(10 + i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return rounds * learns_per_round / dt, float(loss)
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_ENVS", 128))
+    iters = int(os.environ.get("BENCH_ITERS", 60))
+    game = os.environ.get("BENCH_GAME", "pong")
+    cfg = rainbow_tpu.canonical(num_envs=num_envs,
+                                memory_capacity=num_envs * 1024,
+                                batch_size=32)
+    info(f"devices: {jax.devices()}")
+
+    batched_sps, (agent, rep, A) = bench_batched(cfg, game, num_envs, iters)
+    info(f"batched actor: {batched_sps:.0f} env-steps/s @ {num_envs} envs")
+
+    updates_ps, last_loss = bench_learner(cfg, agent, rep, A)
+    info(f"learner: {updates_ps:.1f} updates/s (batch {cfg.batch_size}), "
+         f"loss={last_loss:.3f}")
+
+    single_cfg = cfg.replace(num_envs=1)
+    single_sps = bench_single_env_reference_style(
+        single_cfg, game, max(10, iters // 3))
+    info(f"reference-style single env: {single_sps:.1f} env-steps/s")
+
+    print(json.dumps({
+        "metric": "env_steps_per_s",
+        "value": round(batched_sps, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(batched_sps / max(single_sps, 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

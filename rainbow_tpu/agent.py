@@ -103,8 +103,10 @@ def evaluate_q(params: dict, cfg: RainbowConfig, action_space: int,
 
 
 def _loss_fn(params, cfg, action_space, support, batch, online_noise_key):
+    # use_pallas=False: the fused head kernel has no VJP; the grad path uses
+    # the XLA-fused reference formulation.
     log_ps = apply_dqn(params, cfg, action_space, batch["states"],
-                       online_noise_key, log=True)
+                       online_noise_key, log=True, use_pallas=False)
     log_ps_a = jnp.take_along_axis(
         log_ps, batch["actions"][:, None, None].astype(jnp.int32), axis=1
     )[:, 0, :]  # (B, atoms) — reference agent.py:66-67

@@ -1,0 +1,101 @@
+"""Command-line entry point — capability parity with the reference's 31
+argparse flags (reference main.py:21-61) plus TPU-native knobs, on top of
+the typed config presets.
+
+Run:  python -m rainbow_tpu.cli --game pong --preset data-efficient
+Eval: python -m rainbow_tpu.cli --evaluate --model results/default/model.npz
+"""
+from __future__ import annotations
+
+import argparse
+
+from rainbow_tpu import config as cfg_mod
+from rainbow_tpu.utils.logging import log
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="rainbow-tpu")
+    p.add_argument("--preset", default="canonical",
+                   choices=sorted(cfg_mod.PRESETS),
+                   help="hyperparameter preset (reference defaults vs "
+                        "Atari-100k data-efficient, README.md:25-36)")
+    p.add_argument("--id", dest="run_id", default="default")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--game", default="pong")
+    p.add_argument("--T-max", dest="total_steps", type=int, default=None,
+                   metavar="STEPS")
+    p.add_argument("--max-episode-length", type=int, default=None)
+    p.add_argument("--history-length", type=int, default=None)
+    p.add_argument("--architecture", default=None,
+                   choices=["canonical", "data-efficient"])
+    p.add_argument("--hidden-size", type=int, default=None)
+    p.add_argument("--noisy-std", type=float, default=None)
+    p.add_argument("--atoms", type=int, default=None)
+    p.add_argument("--V-min", dest="v_min", type=float, default=None)
+    p.add_argument("--V-max", dest="v_max", type=float, default=None)
+    p.add_argument("--model", dest="model_path", default=None)
+    p.add_argument("--memory-capacity", type=int, default=None)
+    p.add_argument("--replay-frequency", type=int, default=None)
+    p.add_argument("--priority-exponent", type=float, default=None)
+    p.add_argument("--priority-weight", type=float, default=None)
+    p.add_argument("--multi-step", type=int, default=None)
+    p.add_argument("--discount", type=float, default=None)
+    p.add_argument("--target-update", type=int, default=None)
+    p.add_argument("--reward-clip", type=float, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--adam-eps", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--norm-clip", type=float, default=None)
+    p.add_argument("--learn-start", type=int, default=None)
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--evaluation-interval", type=int, default=None)
+    p.add_argument("--evaluation-episodes", type=int, default=None)
+    p.add_argument("--evaluation-size", type=int, default=None)
+    p.add_argument("--checkpoint-interval", type=int, default=None)
+    p.add_argument("--memory", dest="memory_path", default=None)
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="restore a full atomic checkpoint (exact resume — "
+                        "unlike the reference's partial weights+memory resume)")
+    # TPU-native knobs
+    p.add_argument("--num-envs", type=int, default=None)
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--env-backend", default=None, choices=["native", "fake"])
+    return p
+
+
+def parse_config(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = cfg_mod.PRESETS[args.preset]()
+    overrides = {k: v for k, v in vars(args).items()
+                 if v is not None and k not in ("preset", "evaluate", "resume")
+                 and hasattr(cfg, k)}
+    return cfg.replace(**overrides), args
+
+
+def main(argv=None):
+    cfg, args = parse_config(argv)
+    # Echo options (reference main.py:63-65).
+    print(" " * 26 + "Options")
+    for k, v in sorted(vars(cfg).items()):
+        print(" " * 26 + f"{k}: {v}")
+
+    from rainbow_tpu.train import Trainer
+    from rainbow_tpu import evaluate as ev
+
+    trainer = Trainer(cfg)
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+    if args.evaluate:  # reference main.py:138-141
+        val_states = ev.build_validation_states(
+            cfg, lambda num_envs, training: trainer.make_env(
+                num_envs=num_envs, training=training, seed_offset=4321))
+        avg_r, avg_q = trainer.evaluate_now(val_states, evaluate_only=True)
+        print(f"Avg. reward: {avg_r} | Avg. Q: {avg_q}")
+    else:
+        trainer.run()
+        log("Training complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,7 @@ class RainbowConfig:
     data_axis: str = "data"            # mesh axis name for learner DP
     env_backend: str = "native"        # 'native' (C++ engine) | 'fake' (python fixture)
     jit_learn: bool = True
+    use_pallas_head: bool = False      # fused noisy-dueling-head Pallas kernel
 
     # Persistence
     model_path: Optional[str] = None   # reference main.py:35 --model (resume/eval)

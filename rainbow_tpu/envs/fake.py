@@ -9,9 +9,11 @@ BatchedEnv interface/contract of envs/engine.py.
 Game: at agent-step t of an episode, action ``t % action_space`` earns
 reward 1, others 0. A life is lost every ``life_every`` agent steps
 (training mode → pseudo-terminal, reset_kind 1); the episode truly ends
-after ``episode_len`` agent steps (reset_kind 2). Frames encode
-(env, within-episode step) so tests can verify exact frame plumbing:
-frame value = (33 + env_id * 7 + step * 11) % 251.
+after ``episode_len`` agent steps (reset_kind 2). Frames carry two signals:
+a background value (33 + env_id * 7 + step * 11) % 251 capped at 120 so
+tests can verify exact frame plumbing, and a bright stripe whose row
+position encodes ``t % action_space`` — a spatially learnable cue so the
+conv net can solve the task quickly in learning smoke tests.
 """
 from __future__ import annotations
 
@@ -23,7 +25,8 @@ FRAME = 84
 
 
 def frame_value(env_id: int, step: int) -> int:
-    return (33 + env_id * 7 + step * 11) % 251
+    """Background plumbing code, capped below the stripe brightness."""
+    return min((33 + env_id * 7 + step * 11) % 251, 120)
 
 
 class FakeAtariEnv:
@@ -42,7 +45,12 @@ class FakeAtariEnv:
         self.training = training
 
     def _frame(self, e: int, step: int) -> np.ndarray:
-        return np.full((FRAME, FRAME), frame_value(e, step), np.uint8)
+        f = np.full((FRAME, FRAME), frame_value(e, step), np.uint8)
+        # Bright stripe: row block encodes the rewarded action t % A.
+        band = FRAME // self.action_space
+        y = (step % self.action_space) * band
+        f[y:y + band // 2, :] = 255
+        return f
 
     def reset_all(self) -> np.ndarray:
         self._step[:] = 0

@@ -1,0 +1,96 @@
+"""Evaluation protocol — the reference's test() (reference test.py:13-58),
+re-architected batched.
+
+The reference rolls 10 episodes *sequentially* on one env (test.py:21-34) and
+probes 500 validation states one-by-one (test.py:38-39). Here the episodes
+run as `evaluation_episodes` parallel eval-mode envs (one episode each,
+ε=0.001-greedy, true game-over terminals only) and the validation-Q probe is
+a few batched forwards. Metric semantics are identical.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rainbow_tpu import agent as ag
+from rainbow_tpu.config import RainbowConfig
+from rainbow_tpu.ops.preprocess import (init_framestack, to_network_input,
+                                        update_framestack)
+
+
+def build_validation_states(cfg: RainbowConfig, make_env) -> jax.Array:
+    """Random-policy validation states for the held-out Q probe
+    (reference main.py:126-136): a small replay filled with uniform-random
+    actions, returned as an (evaluation_size, 84, 84, H) batch."""
+    from rainbow_tpu.replay import prioritized as rp
+
+    n_envs = min(10, cfg.evaluation_size)
+    steps = -(-cfg.evaluation_size // n_envs)  # ceil
+    env = make_env(num_envs=n_envs, training=True)
+    rng = np.random.default_rng(cfg.seed + 977)
+    rep = rp.init_replay(n_envs, steps, cfg.frame_size)
+    stack = init_framestack(n_envs, cfg.history_length,
+                            jnp.asarray(env.reset_all()))
+    for _ in range(steps):
+        actions = rng.integers(0, env.action_space, n_envs)
+        frames2, _, dones, kinds = env.step(actions)
+        rep = rp.append(rep, stack[..., -1], jnp.asarray(actions),
+                        jnp.zeros(n_envs), jnp.asarray(dones.astype(bool)))
+        stack = update_framestack(stack, jnp.asarray(frames2[:, 0]),
+                                  jnp.asarray(frames2[:, 1]),
+                                  jnp.asarray(kinds))
+    env.close()
+    states = rp.all_states(rep, cfg.history_length)
+    return states[:cfg.evaluation_size]
+
+
+def run_episodes(cfg: RainbowConfig, params, action_space: int, make_env,
+                 key: jax.Array, num_episodes: int) -> List[float]:
+    """One episode per parallel eval env; returns per-episode total rewards
+    (unclipped, reference test.py:21-34). Eval mode: life losses do not
+    terminate (reference env.py:70 gate off)."""
+    env = make_env(num_envs=num_episodes, training=False)
+    stack = init_framestack(num_episodes, cfg.history_length,
+                            jnp.asarray(env.reset_all()))
+    totals = np.zeros(num_episodes)
+    finished = np.zeros(num_episodes, bool)
+    # Safety cap: max_episode_length raw frames / 4 per agent step, plus slack.
+    max_iters = (cfg.max_episode_length or 10 ** 9) // 4 + 100
+    it = 0
+    while not finished.all() and it < max_iters:
+        key, k = jax.random.split(key)
+        actions = ag.act_e_greedy(params, cfg, action_space,
+                                  to_network_input(stack), k,
+                                  cfg.eval_epsilon)
+        frames2, rewards, dones, kinds = env.step(np.asarray(actions))
+        totals += np.where(finished, 0.0, rewards)
+        finished |= dones.astype(bool)
+        stack = update_framestack(stack, jnp.asarray(frames2[:, 0]),
+                                  jnp.asarray(frames2[:, 1]),
+                                  jnp.asarray(kinds))
+        it += 1
+    env.close()
+    return totals.tolist()
+
+
+def validation_q(cfg: RainbowConfig, params, action_space: int,
+                 val_states: jax.Array, chunk: int = 250) -> List[float]:
+    """Avg max-Q over the held-out states (reference test.py:38-39), in
+    batched chunks instead of 500 batch-1 forwards."""
+    qs: List[float] = []
+    for i in range(0, val_states.shape[0], chunk):
+        q = ag.evaluate_q(params, cfg, action_space, val_states[i:i + chunk])
+        qs.extend(np.asarray(q).tolist())
+    return qs
+
+
+def evaluate(cfg: RainbowConfig, params, action_space: int, make_env,
+             val_states: jax.Array, key: jax.Array
+             ) -> Tuple[float, float, List[float], List[float]]:
+    rewards = run_episodes(cfg, params, action_space, make_env, key,
+                           cfg.evaluation_episodes)
+    qs = validation_q(cfg, params, action_space, val_states)
+    return (float(np.mean(rewards)), float(np.mean(qs)), rewards, qs)

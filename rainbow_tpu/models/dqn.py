@@ -82,16 +82,28 @@ def _torso(params, cfg, x: jax.Array) -> jax.Array:
 
 def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
               noise_key: Optional[jax.Array] = None,
-              log: bool = False) -> jax.Array:
+              log: bool = False,
+              use_pallas: Optional[bool] = None) -> jax.Array:
     """Forward pass: (B, 84, 84, history) NHWC float → (B, A, atoms).
 
     Returns atom probabilities (softmax) or log-probabilities (log=True, the
     loss path) — reference model.py:69-80. ``noise_key`` drives all four
     noisy layers (split 4-ways); None = eval/μ-only mode.
+
+    use_pallas overrides cfg.use_pallas_head (the fused head kernel has no
+    VJP, so gradient-path callers pass use_pallas=False).
     """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     x = x.astype(compute_dtype)
     feat = _torso(params, cfg, x)
+    if use_pallas is None:
+        use_pallas = getattr(cfg, "use_pallas_head", False)
+    if use_pallas:
+        from rainbow_tpu.ops.pallas_kernels import fused_dueling_head
+        return fused_dueling_head(
+            feat.astype(jnp.float32), params, noise_key, atoms=cfg.atoms,
+            action_space=action_space, hidden=cfg.hidden_size, log=log,
+            interpret=jax.default_backend() == "cpu")
     if noise_key is None:
         k_hv = k_ha = k_zv = k_za = None
     else:

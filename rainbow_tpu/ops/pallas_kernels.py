@@ -1,0 +1,128 @@
+"""Pallas TPU kernels for the hot ops.
+
+First kernel: the fused noisy dueling head. The network head is four noisy
+linear layers + ReLU + dueling combine + atom (log-)softmax (reference
+model.py:64-79). Unfused, that is 8 small matmuls (μ and σ paths per layer)
+with HBM round-trips between them; fused, the whole head runs out of VMEM in
+one kernel — weights for the canonical net head are ~2·(3136·512 + 512·A·51)
+floats ≈ 7-8 MB, within the ~16 MB VMEM budget.
+
+The kernel reproduces models/noisy.py exactly: factored noise
+f(x)=sign·√|x| with per-layer ε_in/ε_out supplied as *inputs* (generated
+outside with the same jax.random stream so fused and unfused paths are
+bit-comparable), and the two-matmul factored form that never materialises
+the ε outer product.
+
+Used by models/dqn.py when `cfg.use_pallas_head` and running on TPU;
+equality with the reference path is tested in tests/test_pallas.py
+(interpret mode on CPU, compiled on TPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _head_kernel(feat_ref,
+                 hv_wmu, hv_wsg, hv_bmu, hv_bsg,
+                 ha_wmu, ha_wsg, ha_bmu, ha_bsg,
+                 zv_wmu, zv_wsg, zv_bmu, zv_bsg,
+                 za_wmu, za_wsg, za_bmu, za_bsg,
+                 eps_ref,  # (4, 2, max_dim) packed ε_in/ε_out per layer
+                 out_ref, *, atoms: int, action_space: int, hidden: int,
+                 flat: int, log: bool, noisy: bool):
+    x = feat_ref[:]  # (B, flat)
+
+    def noisy_mm(x, wmu, wsg, bmu, bsg, layer, din, dout):
+        y = jnp.dot(x, wmu[:].T, preferred_element_type=jnp.float32) + bmu[:]
+        if noisy:
+            e_in = eps_ref[layer, 0, :din]
+            e_out = eps_ref[layer, 1, :dout]
+            y += (jnp.dot(x * e_in, wsg[:].T,
+                          preferred_element_type=jnp.float32)
+                  + bsg[:]) * e_out
+        return y
+
+    hv = jnp.maximum(noisy_mm(x, hv_wmu, hv_wsg, hv_bmu, hv_bsg, 0,
+                              flat, hidden), 0.0)
+    ha = jnp.maximum(noisy_mm(x, ha_wmu, ha_wsg, ha_bmu, ha_bsg, 1,
+                              flat, hidden), 0.0)
+    v = noisy_mm(hv, zv_wmu, zv_wsg, zv_bmu, zv_bsg, 2, hidden, atoms)
+    a = noisy_mm(ha, za_wmu, za_wsg, za_bmu, za_bsg, 3, hidden,
+                 action_space * atoms)
+    B = v.shape[0]
+    a = a.reshape(B, action_space, atoms)
+    q = v[:, None, :] + a - jnp.mean(a, axis=1, keepdims=True)
+    # stable (log-)softmax over atoms
+    m = jnp.max(q, axis=-1, keepdims=True)
+    e = jnp.exp(q - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    if log:
+        out_ref[:] = (q - m) - jnp.log(s)
+    else:
+        out_ref[:] = e / s
+
+
+def scale_noise(key: jax.Array, n: int) -> jax.Array:
+    x = jax.random.normal(key, (n,), jnp.float32)
+    return jnp.sign(x) * jnp.sqrt(jnp.abs(x))
+
+
+def make_eps(noise_key: jax.Array, flat: int, hidden: int,
+             action_space: int, atoms: int) -> jax.Array:
+    """Pack per-layer factored noise into (4, 2, max_dim), matching the key
+    splits of models/dqn.py apply_dqn + models/noisy.py noisy_linear."""
+    dims = [(flat, hidden), (flat, hidden), (hidden, atoms),
+            (hidden, action_space * atoms)]
+    max_dim = max(max(d) for d in dims)
+    k_hv, k_ha, k_zv, k_za = jax.random.split(noise_key, 4)
+    eps = jnp.zeros((4, 2, max_dim), jnp.float32)
+    for i, (k, (din, dout)) in enumerate(zip([k_hv, k_ha, k_zv, k_za], dims)):
+        k_in, k_out = jax.random.split(k)
+        eps = eps.at[i, 0, :din].set(scale_noise(k_in, din))
+        eps = eps.at[i, 1, :dout].set(scale_noise(k_out, dout))
+    return eps
+
+
+@functools.partial(jax.jit, static_argnames=("atoms", "action_space",
+                                             "hidden", "log", "interpret"))
+def fused_dueling_head(feat: jax.Array, head_params: dict,
+                       noise_key: Optional[jax.Array], *, atoms: int,
+                       action_space: int, hidden: int, log: bool = False,
+                       interpret: bool = False) -> jax.Array:
+    """(B, flat) features → (B, A, atoms) (log-)probabilities, one kernel.
+
+    head_params: the fc_h_v / fc_h_a / fc_z_v / fc_z_a noisy-param dicts from
+    init_dqn_params. noise_key=None → eval (μ-only) path.
+    """
+    flat = feat.shape[-1]
+    B = feat.shape[0]
+    noisy = noise_key is not None
+    if noisy:
+        eps = make_eps(noise_key, flat, hidden, action_space, atoms)
+    else:
+        dims_max = max(flat, hidden, action_space * atoms, atoms)
+        eps = jnp.zeros((4, 2, dims_max), jnp.float32)
+
+    names = ["fc_h_v", "fc_h_a", "fc_z_v", "fc_z_a"]
+    weights = []
+    for n in names:
+        p = head_params[n]
+        weights += [p["w_mu"], p["w_sigma"], p["b_mu"], p["b_sigma"]]
+
+    kernel = functools.partial(
+        _head_kernel, atoms=atoms, action_space=action_space, hidden=hidden,
+        flat=flat, log=log, noisy=noisy)
+    vmem = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, action_space, atoms), jnp.float32),
+        in_specs=[vmem] * 18,
+        out_specs=vmem,
+        interpret=interpret,
+    )(feat, *weights, eps)

@@ -1,0 +1,102 @@
+"""Distributed actor-learner: per-device env/replay shards + psum gradient
+reduction over the mesh (the BASELINE.json scale-out architecture; no
+reference equivalent — SURVEY.md §2 'Parallelism').
+
+Design (SURVEY.md §5 'Distributed communication backend'):
+  * agent state replicated; env frame stacks and replay arrays sharded on
+    their leading env axis over the 'data' mesh axis (XLA keeps the actor
+    step fully device-local — computation follows data, no collectives).
+  * each device samples `batch_size // n_devices` transitions from its OWN
+    replay shard (host-local data path — sampling never crosses the network),
+    computes local grads, and the gradient mean rides a psum over ICI.
+  * per-device PRNG: keys folded with the device's axis index, so noise and
+    sampling streams are distinct but deterministic.
+  * priority write-back stays shard-local.
+
+IS-weight note: weights are normalised by the *local* shard-batch max
+(reference memory.py:153 normalises by its single batch max); with
+stratified sampling per shard the difference is a bounded per-shard scale
+that vanishes as shards see similar priority distributions — the standard
+sharded-PER tradeoff, made deliberately.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rainbow_tpu import agent as ag
+from rainbow_tpu.config import RainbowConfig
+from rainbow_tpu.replay import prioritized as rp
+
+
+def shard_states(mesh: Mesh, agent_state, rep_state, stack,
+                 axis_name: str = "data"):
+    """Place agent (replicated) and replay/stack (env-sharded on their
+    leading axis; scalar replay leaves replicated) onto the mesh."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis_name))
+    agent_state = jax.device_put(agent_state, repl)
+    rep_state = jax.tree.map(
+        lambda x: jax.device_put(x, shard if getattr(x, "ndim", 0) >= 1
+                                 else repl), rep_state)
+    stack = jax.device_put(stack, shard)
+    return agent_state, rep_state, stack
+
+
+def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
+                           num_learns: int = 1, axis_name: str = "data"):
+    """Build the jitted multi-device learner round.
+
+    Returns fn(agent, rep, beta, key) -> (agent, rep, mean_loss) with rep
+    env-sharded and agent replicated. Inside: shard_map over the mesh axis;
+    psum/pmean gradient reduction; an identical Adam update on every device
+    keeps the replicated params consistent.
+    """
+    n_dev = mesh.devices.size
+    assert cfg.batch_size % n_dev == 0, (
+        f"batch_size {cfg.batch_size} must divide over {n_dev} devices")
+    local_batch = cfg.batch_size // n_dev
+
+    def local_round(agent: ag.AgentState, rep_shard: rp.ReplayState,
+                    beta, key):
+        me = jax.lax.axis_index(axis_name)
+
+        def one_learn(carry, k):
+            agent, rep_shard = carry
+            k_local = jax.random.fold_in(k, me)
+            batch = rp.sample(rep_shard, k_local, beta,
+                              batch_size=local_batch,
+                              history=cfg.history_length,
+                              n_step=cfg.multi_step,
+                              discount=cfg.discount)
+            grads, losses, rng = ag.compute_update(agent, cfg, action_space,
+                                                   batch)
+            grads = jax.lax.pmean(grads, axis_name)  # ICI gradient reduction
+            agent = ag.apply_grads(agent, cfg, grads, rng)
+            rep_shard = rp.update_priorities(rep_shard, batch["idxs"],
+                                             losses, cfg.priority_exponent)
+            return (agent, rep_shard), jax.lax.pmean(losses.mean(), axis_name)
+
+        (agent, rep_shard), losses = jax.lax.scan(
+            one_learn, (agent, rep_shard), jax.random.split(key, num_learns))
+        return agent, rep_shard, losses.mean()
+
+    # Replay scalar leaves (index/full/max_priority) are replicated; array
+    # leaves are env-sharded on their leading axis.
+    rep_spec = rp.ReplayState(
+        frames=P(axis_name), actions=P(axis_name), rewards=P(axis_name),
+        timesteps=P(axis_name), nonterminal=P(axis_name),
+        priorities=P(axis_name), index=P(), full=P(), t=P(axis_name),
+        max_priority=P())
+    agent_spec = jax.tree.map(lambda _: P(), ag.AgentState(
+        params=None, target_params=None, opt_state=None, noise_key=None,
+        rng=None, step=None), is_leaf=lambda x: x is None)
+
+    mapped = jax.shard_map(
+        local_round, mesh=mesh,
+        in_specs=(P(), rep_spec, P(), P()),
+        out_specs=(P(), rep_spec, P()),
+        check_vma=False)
+    return jax.jit(mapped)

@@ -1,0 +1,245 @@
+"""Training orchestration — the reference's main-loop capabilities
+(reference main.py:104-184) re-architected for a batched actor-learner.
+
+One loop iteration advances all N envs by one agent step (N env-steps), so
+per-step device work is exactly two dispatches: one fused actor program
+(replay append + frame-stack update + batched greedy act) and, when learning,
+one fused learner program that runs the round's `N / replay_frequency` C51
+updates as a lax.scan — preserving the reference's replay ratio (one batch-32
+update per 4 env-steps, reference main.py:36,163) and its
+sample→update→priority-feedback sequencing within the round.
+
+Schedule parity with reference main.py:142-184:
+  * noise reset each learn round (main.py:150-151)
+  * β annealed linearly to 1 over (T_max − learn_start) (main.py:123,161)
+  * learning gated on T ≥ learn_start (main.py:160)
+  * target sync every `target_update` env-steps (main.py:177-178)
+  * eval every `evaluation_interval` env-steps: episodes + validation-Q,
+    best-model save, metrics + plots (main.py:166-174, test.py:42-55)
+  * optional periodic full checkpoints (main.py:181-182) — ours are atomic
+    and complete (SURVEY.md §5 checkpoint gap).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rainbow_tpu import agent as ag
+from rainbow_tpu import checkpoint as ckpt
+from rainbow_tpu import evaluate as ev
+from rainbow_tpu.config import RainbowConfig
+from rainbow_tpu.ops.preprocess import init_framestack, to_network_input, \
+    update_framestack
+from rainbow_tpu.replay import prioritized as rp
+from rainbow_tpu.utils.logging import Timer, log
+from rainbow_tpu.utils.plotting import plot_line
+
+
+def make_env_factory(cfg: RainbowConfig) -> Callable:
+    if cfg.env_backend == "fake":
+        from rainbow_tpu.envs.fake import FakeAtariEnv
+
+        def factory(num_envs: int, training: bool = True, seed_offset: int = 0):
+            return FakeAtariEnv(num_envs, seed=cfg.seed + seed_offset,
+                                episode_len=50, life_every=0,
+                                training=training)
+        return factory
+
+    from rainbow_tpu.envs.engine import BatchedEnv
+
+    def factory(num_envs: int, training: bool = True, seed_offset: int = 0):
+        return BatchedEnv(cfg.game, num_envs, cfg.seed + seed_offset,
+                          cfg.max_episode_length, training=training)
+    return factory
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"))
+def actor_step(params, noise_key, cfg: RainbowConfig, action_space: int,
+               stack, rep: rp.ReplayState, prev_actions, obs, reset_frames,
+               rewards, dones, kinds):
+    """Fused per-iteration device program: append the just-completed
+    transition (pre-step newest frame + action + clipped reward + done,
+    reference main.py:155-157), advance the frame stack, pick next actions."""
+    if cfg.reward_clip > 0:
+        rewards = jnp.clip(rewards, -cfg.reward_clip, cfg.reward_clip)
+    rep = rp.append(rep, stack[..., -1], prev_actions, rewards, dones)
+    stack = update_framestack(stack, obs, reset_frames, kinds)
+    actions = ag.act(params, cfg, action_space, to_network_input(stack),
+                     noise_key)
+    return actions, stack, rep
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space",
+                                             "num_learns"))
+def learner_round(agent: ag.AgentState, rep: rp.ReplayState,
+                  cfg: RainbowConfig, action_space: int, num_learns: int,
+                  beta, key):
+    """`num_learns` sequential C51 updates as one XLA program."""
+    def body(carry, k):
+        a, r = carry
+        a, r, loss = ag.learn_step(a, r, cfg, action_space, beta, k)
+        return (a, r), loss
+
+    (agent, rep), losses = jax.lax.scan(
+        body, (agent, rep), jax.random.split(key, num_learns))
+    return agent, rep, losses.mean()
+
+
+class Trainer:
+    """Stateful driver around the functional core (host-side scheduling only)."""
+
+    def __init__(self, cfg: RainbowConfig,
+                 make_env: Optional[Callable] = None):
+        self.cfg = cfg
+        self.make_env = make_env or make_env_factory(cfg)
+        self.results_dir = os.path.join(cfg.results_dir, cfg.run_id)
+        os.makedirs(self.results_dir, exist_ok=True)
+        self.metrics = {"steps": [], "rewards": [], "Qs": [],
+                        "best_avg_reward": -float("inf")}
+        self.timer = Timer()
+
+        self.env = self.make_env(num_envs=cfg.num_envs, training=True)
+        self.action_space = self.env.action_space
+        key = jax.random.key(cfg.seed)
+        k_agent, self.loop_key = jax.random.split(key)
+        self.agent = ag.init_agent(k_agent, cfg, self.action_space)
+        if cfg.model_path:  # pretrained weights (reference agent.py:26-36)
+            params = ckpt.load_params(cfg.model_path)
+            self.agent = self.agent.replace(
+                params=params, target_params=jax.tree.map(jnp.copy, params))
+            log(f"Loaded pretrained model: {cfg.model_path}")
+        self.rep = rp.init_replay(cfg.num_envs, cfg.capacity_per_env,
+                                  cfg.frame_size)
+        self.T = 0  # env steps taken (reference's T, in agent steps)
+
+        # Learn cadence (see module docstring).
+        if cfg.num_envs >= cfg.replay_frequency:
+            self.learns_per_iter = cfg.num_envs // cfg.replay_frequency
+            self.iters_per_learn = 1
+        else:
+            self.learns_per_iter = 1
+            self.iters_per_learn = cfg.replay_frequency // cfg.num_envs
+        self.beta_rate = ((1.0 - cfg.priority_weight)
+                          / max(cfg.total_steps - cfg.learn_start, 1))
+
+    # ---- persistence ----------------------------------------------------
+    def _full_state(self, include_replay: bool):
+        st = {"agent": self.agent, "T": self.T,
+              "metrics_json": np.frombuffer(
+                  json.dumps(self.metrics).encode(), np.uint8)}
+        if include_replay:
+            st["replay"] = self.rep
+        return st
+
+    def save_checkpoint(self, name="checkpoint.npz", include_replay=None):
+        if include_replay is None:
+            include_replay = self.cfg.memory_path is not None
+        ckpt.save_pytree(os.path.join(self.results_dir, name),
+                         self._full_state(include_replay))
+
+    def restore_checkpoint(self, path: str):
+        st = ckpt.load_pytree(path)
+        self.agent = jax.tree.map(jnp.asarray, st["agent"])
+        self.T = int(st["T"])
+        self.metrics = json.loads(bytes(st["metrics_json"]).decode())
+        if "replay" in st:
+            self.rep = jax.tree.map(jnp.asarray, st["replay"])
+        log(f"Restored checkpoint at T={self.T} from {path}")
+
+    # ---- evaluation -----------------------------------------------------
+    def evaluate_now(self, val_states, evaluate_only=False):
+        self.loop_key, k = jax.random.split(self.loop_key)
+        avg_r, avg_q, rewards, qs = ev.evaluate(
+            self.cfg, self.agent.params, self.action_space,
+            lambda num_envs, training: self.make_env(
+                num_envs=num_envs, training=training, seed_offset=1234),
+            val_states, k)
+        if not evaluate_only:
+            self.metrics["steps"].append(self.T)
+            self.metrics["rewards"].append(rewards)
+            self.metrics["Qs"].append(qs)
+            if avg_r > self.metrics["best_avg_reward"]:
+                self.metrics["best_avg_reward"] = avg_r
+                ckpt.save_params(os.path.join(self.results_dir, "model.npz"),
+                                 self.agent.params)  # best save, test.py:43-46
+            with open(os.path.join(self.results_dir, "metrics.json"), "w") as f:
+                json.dump(self.metrics, f)
+            plot_line(self.metrics["steps"], self.metrics["rewards"],
+                      "Reward", self.results_dir)
+            plot_line(self.metrics["steps"], self.metrics["Qs"], "Q",
+                      self.results_dir)
+        return avg_r, avg_q
+
+    # ---- main loop ------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        log("Building validation memory")
+        val_states = ev.build_validation_states(
+            cfg, lambda num_envs, training: self.make_env(
+                num_envs=num_envs, training=training, seed_offset=4321))
+
+        stack = init_framestack(cfg.num_envs, cfg.history_length,
+                                jnp.asarray(self.env.reset_all()))
+        self.loop_key, k0 = jax.random.split(self.loop_key)
+        actions = ag.act(self.agent.params, cfg, self.action_space,
+                         to_network_input(stack), self.agent.noise_key)
+        it = 0
+        next_target_sync = cfg.target_update
+        next_eval = cfg.evaluation_interval
+        next_ckpt = cfg.checkpoint_interval or float("inf")
+        while self.T < cfg.total_steps:
+            it += 1
+            self.timer.start("env")
+            frames2, rewards, dones, kinds = self.env.step(np.asarray(actions))
+            self.timer.stop("env")
+            self.T += cfg.num_envs
+
+            learning = self.T >= cfg.learn_start
+            if learning and it % self.iters_per_learn == 0:
+                self.agent = ag.reset_noise(self.agent)  # main.py:150-151
+
+            self.timer.start("actor")
+            actions, stack, self.rep = actor_step(
+                self.agent.params, self.agent.noise_key, cfg,
+                self.action_space, stack, self.rep, actions,
+                jnp.asarray(frames2[:, 0]), jnp.asarray(frames2[:, 1]),
+                jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+                jnp.asarray(kinds))
+            self.timer.stop("actor")
+
+            if learning:
+                beta = min(1.0, cfg.priority_weight
+                           + (self.T - cfg.learn_start) * self.beta_rate)
+                if it % self.iters_per_learn == 0:
+                    self.timer.start("learn")
+                    self.loop_key, k = jax.random.split(self.loop_key)
+                    self.agent, self.rep, loss = learner_round(
+                        self.agent, self.rep, cfg, self.action_space,
+                        self.learns_per_iter, jnp.float32(beta), k)
+                    self.timer.stop("learn")
+
+                if self.T >= next_target_sync:  # main.py:177-178
+                    self.agent = ag.update_target(self.agent)
+                    next_target_sync += cfg.target_update
+
+                if self.T >= next_eval:  # main.py:166-174
+                    avg_r, avg_q = self.evaluate_now(val_states)
+                    log(f"T = {self.T} / {cfg.total_steps} | Avg. reward: "
+                        f"{avg_r} | Avg. Q: {avg_q:.4f} | {self.timer.summary()}")
+                    next_eval += cfg.evaluation_interval
+                    if cfg.memory_path is not None:
+                        self.save_checkpoint("memory_checkpoint.npz",
+                                             include_replay=True)
+
+                if self.T >= next_ckpt:  # main.py:181-182
+                    self.save_checkpoint()
+                    next_ckpt += cfg.checkpoint_interval
+
+        self.env.close()
+        return self.metrics
