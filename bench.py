@@ -40,7 +40,11 @@ def info(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_batched(cfg, game, num_envs, iters):
+def bench_batched(cfg, game, num_envs, iters, pipeline=False):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rainbow_tpu.train import update_step
+
     env = BatchedEnv(game, num_envs, seed=1)
     A = env.action_space
     agent = ag.init_agent(jax.random.key(0), cfg, A)
@@ -49,26 +53,42 @@ def bench_batched(cfg, game, num_envs, iters):
                             jnp.asarray(env.reset_all()))
     actions = ag.act(agent.params, cfg, A, to_network_input(stack),
                      agent.noise_key)
-    zeros_kind = jnp.zeros((num_envs,), jnp.uint8)
+    acts_np = np.asarray(actions)
+    pool = ThreadPoolExecutor(1) if pipeline else None
 
-    def one_iter(actions, stack, rep):
-        acts_np = np.asarray(actions)
-        frames2, rewards, dones, kinds = env.step(acts_np)
-        return actor_step(agent.params, agent.noise_key, cfg, A, stack, rep,
-                          actions, jnp.asarray(frames2[:, 0]),
-                          jnp.asarray(frames2[:, 1]), jnp.asarray(rewards),
-                          jnp.asarray(dones.astype(bool)), jnp.asarray(kinds))
+    def serial_iter(actions, acts_np, stack, rep):
+        obs, resets, rewards, dones, kinds = env.step(acts_np)
+        actions, stack, rep = actor_step(
+            agent.params, agent.noise_key, cfg, A, stack, rep, actions,
+            jnp.asarray(obs), jnp.asarray(resets),
+            jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+            jnp.asarray(kinds))
+        return actions, np.asarray(actions), stack, rep
 
-    # warmup (compile)
-    for _ in range(3):
-        actions, stack, rep = one_iter(actions, stack, rep)
-    jax.block_until_ready(actions)
+    def pipelined_iter(actions, acts_np, stack, rep):
+        fut = pool.submit(env.step, acts_np)
+        next_actions = ag.act(agent.params, cfg, A, to_network_input(stack),
+                              agent.noise_key)
+        next_np = np.asarray(next_actions)
+        obs, resets, rewards, dones, kinds = fut.result()
+        stack, rep = update_step(
+            cfg, A, stack, rep, actions, jnp.asarray(obs),
+            jnp.asarray(resets), jnp.asarray(rewards),
+            jnp.asarray(dones.astype(bool)), jnp.asarray(kinds))
+        return next_actions, next_np, stack, rep
+
+    one_iter = pipelined_iter if pipeline else serial_iter
+    for _ in range(3):  # warmup (compile)
+        actions, acts_np, stack, rep = one_iter(actions, acts_np, stack, rep)
+    jax.block_until_ready(stack)
     t0 = time.perf_counter()
     for _ in range(iters):
-        actions, stack, rep = one_iter(actions, stack, rep)
-    jax.block_until_ready(actions)
+        actions, acts_np, stack, rep = one_iter(actions, acts_np, stack, rep)
+    jax.block_until_ready(stack)
     dt = time.perf_counter() - t0
     env.close()
+    if pool:
+        pool.shutdown()
     return num_envs * iters / dt, (agent, rep, A)
 
 
@@ -84,20 +104,20 @@ def bench_single_env_reference_style(cfg, game, steps):
     actions = ag.act(agent.params, cfg, A, to_network_input(stack),
                      agent.noise_key)
     # warmup/compile
-    frames2, rewards, dones, kinds = env.step(np.asarray(actions))
+    obs, resets, rewards, dones, kinds = env.step(np.asarray(actions))
     actions, stack, rep = actor_step(
         agent.params, agent.noise_key, cfg, A, stack, rep, actions,
-        jnp.asarray(frames2[:, 0]), jnp.asarray(frames2[:, 1]),
+        jnp.asarray(obs), jnp.asarray(resets),
         jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
         jnp.asarray(kinds))
     jax.block_until_ready(actions)
     t0 = time.perf_counter()
     for _ in range(steps):
         acts_np = np.asarray(actions)  # per-step device→host sync
-        frames2, rewards, dones, kinds = env.step(acts_np)
+        obs, resets, rewards, dones, kinds = env.step(acts_np)
         actions, stack, rep = actor_step(
             agent.params, agent.noise_key, cfg, A, stack, rep, actions,
-            jnp.asarray(frames2[:, 0]), jnp.asarray(frames2[:, 1]),
+            jnp.asarray(obs), jnp.asarray(resets),
             jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
             jnp.asarray(kinds))
     jax.block_until_ready(actions)
@@ -131,7 +151,12 @@ def main():
     info(f"devices: {jax.devices()}")
 
     batched_sps, (agent, rep, A) = bench_batched(cfg, game, num_envs, iters)
-    info(f"batched actor: {batched_sps:.0f} env-steps/s @ {num_envs} envs")
+    info(f"batched actor (serial): {batched_sps:.0f} env-steps/s "
+         f"@ {num_envs} envs")
+    piped_sps, _ = bench_batched(cfg, game, num_envs, iters, pipeline=True)
+    info(f"batched actor (pipelined): {piped_sps:.0f} env-steps/s "
+         f"@ {num_envs} envs")
+    batched_sps = max(batched_sps, piped_sps)
 
     updates_ps, last_loss = bench_learner(cfg, agent, rep, A)
     info(f"learner: {updates_ps:.1f} updates/s (batch {cfg.batch_size}), "

@@ -157,7 +157,8 @@ def apply_grads(agent: AgentState, cfg: RainbowConfig, grads: dict,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "action_space"))
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
+                   donate_argnames=("agent", "rep"))
 def learn_step(agent: AgentState, rep: replay.ReplayState,
                cfg: RainbowConfig, action_space: int, beta: jax.Array,
                sample_key: jax.Array

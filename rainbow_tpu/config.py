@@ -68,6 +68,14 @@ class RainbowConfig:
     env_backend: str = "native"        # 'native' (C++ engine) | 'fake' (python fixture)
     jit_learn: bool = True
     use_pallas_head: bool = False      # fused noisy-dueling-head Pallas kernel
+    pipeline_actor: bool = False       # overlap engine stepping with device
+    # compute by accepting a 1-step policy lag (actions for step t+1 are
+    # computed from state t). Off by default for strict reference parity;
+    # recommended at high env counts where the lag is negligible.
+    data_parallel: bool = False        # shard envs/replay over all local
+    # devices ('data' mesh): replicated agent, per-device replay shards,
+    # psum-mean gradients (parallel/learner.py). Requires num_envs and
+    # batch_size divisible by the device count.
 
     # Persistence
     model_path: Optional[str] = None   # reference main.py:35 --model (resume/eval)

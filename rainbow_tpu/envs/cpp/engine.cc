@@ -15,8 +15,9 @@
 // Auto-reset contract (batched envs cannot reset between iterations the way
 // the reference's `if done: env.reset()` loop does): when a step triggers
 // done, the engine performs the reset *within the same call* and returns BOTH
-// frames — frames[env][0] = the step observation (terminal obs), and
-// frames[env][1] = the post-reset frame — plus reset_kind (0 none, 1
+// frames — obs[env] = the step observation (terminal obs), and
+// reset[env] = the post-reset frame (two separate contiguous buffers so the
+// host never repacks before the device transfer) — plus reset_kind (0 none, 1
 // life-termination: keep frame stack and roll in the no-op frame, 2 full
 // reset: clear stack). The device-side frame-stack update applies them in
 // exactly the order the reference's state_buffer would see.
@@ -80,9 +81,8 @@ void resize_bilinear(const uint8_t* src, uint8_t* dst) {
 struct EnvSlot {
   Game* game = nullptr;
   Rng rng{0};
-  int lives = 0;               // life counter (reference env.py:21)
+  int lives = 0;  // life counter (reference env.py:21)
   bool pending_full_reset = true;
-  int raw0[kScreenH * kScreenW];  // unused; kept for alignment clarity
 };
 
 class Engine {
@@ -123,11 +123,12 @@ class Engine {
     });
   }
 
-  void step(const int32_t* actions, uint8_t* frames2, float* rewards,
-            uint8_t* dones, uint8_t* reset_kinds) {
+  void step(const int32_t* actions, uint8_t* obs_out, uint8_t* reset_out,
+            float* rewards, uint8_t* dones, uint8_t* reset_kinds) {
     parallel_for([&](int e) {
-      step_one(e, actions[e], frames2 + (size_t)e * 2 * kOutH * kOutW,
-               rewards + e, dones + e, reset_kinds + e);
+      step_one(e, actions[e], obs_out + (size_t)e * kOutH * kOutW,
+               reset_out + (size_t)e * kOutH * kOutW, rewards + e, dones + e,
+               reset_kinds + e);
     });
   }
 
@@ -169,11 +170,9 @@ class Engine {
     s.pending_full_reset = false;
   }
 
-  void step_one(int e, int action, uint8_t* frames2, float* reward,
-                uint8_t* done, uint8_t* reset_kind) {
+  void step_one(int e, int action, uint8_t* obs, uint8_t* reset_frame,
+                float* reward, uint8_t* done, uint8_t* reset_kind) {
     EnvSlot& s = envs_[e];
-    uint8_t* obs = frames2;                       // slot 0: step observation
-    uint8_t* reset_frame = frames2 + kOutH * kOutW;  // slot 1: post-reset
     float r = 0.0f;
     bool d = false;
     // ×4 action repeat, max-pool of the last two raw frames
@@ -233,6 +232,11 @@ class Engine {
   }
 
   // ---- persistent thread pool -------------------------------------------
+  // Each worker owns a static slice of the env range and signals completion
+  // once per epoch. A straggler from epoch k keeps remaining_ nonzero, so
+  // epoch k+1 cannot begin until every worker is parked — this rules out the
+  // work-stealing race where a stale worker claims indices of a new epoch
+  // while holding the previous epoch's task closure.
   template <typename F>
   void parallel_for(F&& fn) {
     if (workers_.empty()) {
@@ -242,11 +246,10 @@ class Engine {
     {
       std::unique_lock<std::mutex> lk(mu_);
       task_ = fn;
-      next_env_.store(0);
-      remaining_.store(n_envs_);
+      remaining_.store((int)workers_.size());
       ++epoch_;
+      cv_.notify_all();
     }
-    cv_.notify_all();
     std::unique_lock<std::mutex> lk(mu_);
     done_cv_.wait(lk, [&] { return remaining_.load() == 0; });
   }
@@ -254,8 +257,11 @@ class Engine {
   void start_pool(int n) {
     n = std::max(1, std::min(n, n_envs_));
     if (n <= 1) return;  // run inline
+    const int chunk = (n_envs_ + n - 1) / n;
     for (int i = 0; i < n; ++i) {
-      workers_.emplace_back([this] {
+      const int lo = i * chunk;
+      const int hi = std::min(n_envs_, lo + chunk);
+      workers_.emplace_back([this, lo, hi] {
         uint64_t seen = 0;
         for (;;) {
           std::function<void(int)> task;
@@ -266,14 +272,10 @@ class Engine {
             seen = epoch_;
             task = task_;
           }
-          for (;;) {
-            int e = next_env_.fetch_add(1);
-            if (e >= n_envs_) break;
-            task(e);
-            if (remaining_.fetch_sub(1) == 1) {
-              std::unique_lock<std::mutex> lk(mu_);
-              done_cv_.notify_all();
-            }
+          for (int e = lo; e < hi; ++e) task(e);
+          if (remaining_.fetch_sub(1) == 1) {
+            std::unique_lock<std::mutex> lk(mu_);
+            done_cv_.notify_all();
           }
         }
       });
@@ -305,7 +307,6 @@ class Engine {
   std::mutex mu_;
   std::condition_variable cv_, done_cv_;
   std::function<void(int)> task_;
-  std::atomic<int> next_env_{0};
   std::atomic<int> remaining_{0};
   uint64_t epoch_ = 0;
   bool stop_ = false;
@@ -341,10 +342,11 @@ void renv_reset_all(void* h, uint8_t* frames) {
   static_cast<rainbow::Engine*>(h)->reset_all(frames);
 }
 
-void renv_step(void* h, const int32_t* actions, uint8_t* frames2,
-               float* rewards, uint8_t* dones, uint8_t* reset_kinds) {
-  static_cast<rainbow::Engine*>(h)->step(actions, frames2, rewards, dones,
-                                         reset_kinds);
+void renv_step(void* h, const int32_t* actions, uint8_t* obs,
+               uint8_t* reset_frames, float* rewards, uint8_t* dones,
+               uint8_t* reset_kinds) {
+  static_cast<rainbow::Engine*>(h)->step(actions, obs, reset_frames, rewards,
+                                         dones, reset_kinds);
 }
 
 }  // extern "C"

@@ -1,4 +1,4 @@
-// Native games: pong, breakout, space_invaders.
+// Native games: pong, breakout, space_invaders, freeway.
 //
 // Real, learnable arcade dynamics at ALE screen geometry with ALE-style
 // minimal action sets, lives and scoring — stand-ins for the ALE ROMs the
@@ -388,6 +388,97 @@ class SpaceInvaders final : public Game {
   bool march_right_ = true, over_ = false;
 };
 
+// ---------------------------------------------------------------------------
+// Freeway: chicken crosses 10 lanes of traffic, +1 per crossing, knocked back
+// on collision, ~2-minute game timer, no lives. Minimal action set (3):
+// NOOP UP DOWN (matches ALE freeway).
+// ---------------------------------------------------------------------------
+class Freeway final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    frame_ = 0;
+    over_ = false;
+    chick_y_ = kStartY;
+    knockback_ = 0;
+    for (int l = 0; l < kLanes; ++l) {
+      speed_[l] = ((l < kLanes / 2) ? 1 : -1) * (0.8f + 0.35f * (l % 5));
+      car_x_[l] = (float)rng_.below(kScreenW);
+    }
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    if (++frame_ >= kTimerFrames) over_ = true;
+    // Cars advance every frame; wrap around.
+    for (int l = 0; l < kLanes; ++l) {
+      car_x_[l] += speed_[l];
+      if (car_x_[l] > kScreenW) car_x_[l] = -kCarW;
+      if (car_x_[l] < -kCarW) car_x_[l] = kScreenW;
+    }
+    if (knockback_ > 0) {  // being bumped downfield, controls locked
+      chick_y_ += 3.0f;
+      if (--knockback_ == 0 && chick_y_ > kStartY) chick_y_ = kStartY;
+    } else {
+      if (action == 1) chick_y_ -= kChickSpeed;
+      if (action == 2) chick_y_ += kChickSpeed;
+    }
+    chick_y_ = std::clamp(chick_y_, (float)kTopY, (float)kStartY);
+    // Collision with the car in the chicken's lane.
+    int lane = (int)((chick_y_ - kLanesY) / kLaneH);
+    if (lane >= 0 && lane < kLanes) {
+      float cy = kLanesY + lane * kLaneH + 2;
+      if (chick_y_ + kChickH > cy && chick_y_ < cy + kCarH &&
+          kChickX + kChickW > car_x_[lane] &&
+          kChickX < car_x_[lane] + kCarW) {
+        knockback_ = 8;
+      }
+    }
+    if (chick_y_ <= kTopY) {  // crossed!
+      chick_y_ = kStartY;
+      return 1.0f;
+    }
+    return 0.0f;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    c.rect(12, 0, 8, kScreenW, kDim);  // score band
+    c.rect(kTopY - 6, 0, 4, kScreenW, kMid);       // goal line
+    c.rect(kStartY + kChickH + 2, 0, 4, kScreenW, kMid);  // start line
+    for (int l = 0; l < kLanes; ++l) {
+      int ly = kLanesY + l * kLaneH;
+      c.rect(ly + kLaneH - 1, 0, 1, kScreenW, kDim);  // lane marking
+      c.rect(ly + 2, (int)car_x_[l], kCarH, kCarW, (uint8_t)(140 + l * 10));
+    }
+    c.rect((int)chick_y_, kChickX, kChickH, kChickW, kBright);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return 0; }
+  int num_actions() const override { return 3; }
+
+ private:
+  static constexpr int kLanes = 10;
+  static constexpr int kLaneH = 14;
+  static constexpr int kLanesY = 40;
+  static constexpr int kTopY = 30;
+  static constexpr int kStartY = 188;
+  static constexpr int kChickX = 44, kChickW = 6, kChickH = 8;
+  static constexpr int kCarW = 16, kCarH = 9;
+  static constexpr int kTimerFrames = 8192;
+  static constexpr float kChickSpeed = 1.6f;
+
+  Rng rng_{0};
+  float car_x_[kLanes] = {};
+  float speed_[kLanes] = {};
+  float chick_y_ = kStartY;
+  int knockback_ = 0, frame_ = 0;
+  bool over_ = false;
+};
+
 }  // namespace
 
 Game* make_game(const char* name) {
@@ -395,6 +486,7 @@ Game* make_game(const char* name) {
   if (g == "pong") return new Pong();
   if (g == "breakout") return new Breakout();
   if (g == "space_invaders") return new SpaceInvaders();
+  if (g == "freeway") return new Freeway();
   return nullptr;
 }
 

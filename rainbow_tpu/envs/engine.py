@@ -17,7 +17,7 @@ import numpy as np
 _CPP_DIR = os.path.join(os.path.dirname(__file__), "cpp")
 _LIB_PATH = os.path.join(_CPP_DIR, "librainbow_env.so")
 
-GAMES = ("pong", "breakout", "space_invaders")
+GAMES = ("pong", "breakout", "space_invaders", "freeway")
 FRAME = 84
 
 
@@ -37,7 +37,7 @@ def _load_lib() -> ctypes.CDLL:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.renv_reset_all.argtypes = [ctypes.c_void_p, u8p]
-    lib.renv_step.argtypes = [ctypes.c_void_p, i32p, u8p, f32p, u8p, u8p]
+    lib.renv_step.argtypes = [ctypes.c_void_p, i32p, u8p, u8p, f32p, u8p, u8p]
     return lib
 
 
@@ -47,10 +47,12 @@ _lib = None
 class BatchedEnv:
     """N native environments stepped in lockstep.
 
-    step(actions) -> (frames, rewards, dones, reset_kinds) where frames is
-    uint8 (N, 2, 84, 84): slot 0 the step observation (max-pooled over the
-    last two raw frames of the ×4 action repeat), slot 1 the post-reset frame
-    (valid iff reset_kind > 0). reset_kind: 0 = no reset, 1 = life-loss
+    step(actions) -> (obs, reset_frames, rewards, dones, reset_kinds):
+    obs uint8 (N, 84, 84) is the step observation (max-pooled over the last
+    two raw frames of the ×4 action repeat); reset_frames uint8 (N, 84, 84)
+    is the post-reset frame (valid iff reset_kind > 0); both contiguous so
+    no host repack precedes the device transfer.
+    reset_kind: 0 = no reset, 1 = life-loss
     continuation (keep frame stack), 2 = full reset (clear frame stack).
     Rewards are raw (unclipped) sums over the action repeat, matching
     reference env.py:54-67.
@@ -72,7 +74,8 @@ class BatchedEnv:
         self.action_space = self._lib.renv_num_actions(self._h)
         self.set_training(training)
         # Preallocated output buffers (written in-place by C++).
-        self._frames = np.empty((num_envs, 2, FRAME, FRAME), np.uint8)
+        self._obs = np.empty((num_envs, FRAME, FRAME), np.uint8)
+        self._reset_frames = np.zeros((num_envs, FRAME, FRAME), np.uint8)
         self._rewards = np.empty((num_envs,), np.float32)
         self._dones = np.empty((num_envs,), np.uint8)
         self._kinds = np.empty((num_envs,), np.uint8)
@@ -87,13 +90,13 @@ class BatchedEnv:
         self._lib.renv_reset_all(self._h, out)
         return out
 
-    def step(self, actions: np.ndarray
-             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    def step(self, actions: np.ndarray):
         actions = np.ascontiguousarray(actions, np.int32)
         assert actions.shape == (self.num_envs,)
-        self._lib.renv_step(self._h, actions, self._frames, self._rewards,
-                            self._dones, self._kinds)
-        return self._frames, self._rewards, self._dones, self._kinds
+        self._lib.renv_step(self._h, actions, self._obs, self._reset_frames,
+                            self._rewards, self._dones, self._kinds)
+        return (self._obs, self._reset_frames, self._rewards, self._dones,
+                self._kinds)
 
     def close(self) -> None:
         if getattr(self, "_h", None):

@@ -39,7 +39,8 @@ class FakeAtariEnv:
         self.life_every = life_every
         self.training = training
         self._step = np.zeros(num_envs, np.int64)  # within-episode agent step
-        self._frames = np.empty((num_envs, 2, FRAME, FRAME), np.uint8)
+        self._obs = np.empty((num_envs, FRAME, FRAME), np.uint8)
+        self._reset_frames = np.zeros((num_envs, FRAME, FRAME), np.uint8)
 
     def set_training(self, training: bool) -> None:
         self.training = training
@@ -56,8 +57,7 @@ class FakeAtariEnv:
         self._step[:] = 0
         return np.stack([self._frame(e, 0) for e in range(self.num_envs)])
 
-    def step(self, actions: np.ndarray
-             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    def step(self, actions: np.ndarray):
         n = self.num_envs
         rewards = np.zeros(n, np.float32)
         dones = np.zeros(n, np.uint8)
@@ -66,19 +66,19 @@ class FakeAtariEnv:
             t = self._step[e]
             rewards[e] = 1.0 if actions[e] == t % self.action_space else 0.0
             nxt = t + 1
-            self._frames[e, 0] = self._frame(e, nxt)
+            self._obs[e] = self._frame(e, nxt)
             if nxt >= self.episode_len:  # true game over
                 dones[e], kinds[e] = 1, 2
                 self._step[e] = 0
-                self._frames[e, 1] = self._frame(e, 0)
+                self._reset_frames[e] = self._frame(e, 0)
             elif (self.training and self.life_every
                   and nxt % self.life_every == 0):  # life loss
                 dones[e], kinds[e] = 1, 1
                 self._step[e] = nxt + 1  # the single no-op consumed a step
-                self._frames[e, 1] = self._frame(e, nxt + 1)
+                self._reset_frames[e] = self._frame(e, nxt + 1)
             else:
                 self._step[e] = nxt
-        return self._frames, rewards, dones, kinds
+        return self._obs, self._reset_frames, rewards, dones, kinds
 
     def close(self) -> None:
         pass

@@ -36,11 +36,11 @@ def build_validation_states(cfg: RainbowConfig, make_env) -> jax.Array:
                             jnp.asarray(env.reset_all()))
     for _ in range(steps):
         actions = rng.integers(0, env.action_space, n_envs)
-        frames2, _, dones, kinds = env.step(actions)
+        obs, resets, _, dones, kinds = env.step(actions)
         rep = rp.append(rep, stack[..., -1], jnp.asarray(actions),
                         jnp.zeros(n_envs), jnp.asarray(dones.astype(bool)))
-        stack = update_framestack(stack, jnp.asarray(frames2[:, 0]),
-                                  jnp.asarray(frames2[:, 1]),
+        stack = update_framestack(stack, jnp.asarray(obs),
+                                  jnp.asarray(resets),
                                   jnp.asarray(kinds))
     env.close()
     states = rp.all_states(rep, cfg.history_length)
@@ -65,11 +65,11 @@ def run_episodes(cfg: RainbowConfig, params, action_space: int, make_env,
         actions = ag.act_e_greedy(params, cfg, action_space,
                                   to_network_input(stack), k,
                                   cfg.eval_epsilon)
-        frames2, rewards, dones, kinds = env.step(np.asarray(actions))
+        obs, resets, rewards, dones, kinds = env.step(np.asarray(actions))
         totals += np.where(finished, 0.0, rewards)
         finished |= dones.astype(bool)
-        stack = update_framestack(stack, jnp.asarray(frames2[:, 0]),
-                                  jnp.asarray(frames2[:, 1]),
+        stack = update_framestack(stack, jnp.asarray(obs),
+                                  jnp.asarray(resets),
                                   jnp.asarray(kinds))
         it += 1
     env.close()

@@ -63,10 +63,14 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
                     beta, key):
         me = jax.lax.axis_index(axis_name)
 
+        # Carry only the mutated leaves (see train.learner_round) — carrying
+        # the frame arrays would materialise a padded replay copy per loop.
         def one_learn(carry, k):
-            agent, rep_shard = carry
+            agent, priorities, max_p = carry
+            shard = rep_shard.replace(priorities=priorities,
+                                      max_priority=max_p)
             k_local = jax.random.fold_in(k, me)
-            batch = rp.sample(rep_shard, k_local, beta,
+            batch = rp.sample(shard, k_local, beta,
                               batch_size=local_batch,
                               history=cfg.history_length,
                               n_step=cfg.multi_step,
@@ -75,13 +79,16 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
                                                    batch)
             grads = jax.lax.pmean(grads, axis_name)  # ICI gradient reduction
             agent = ag.apply_grads(agent, cfg, grads, rng)
-            rep_shard = rp.update_priorities(rep_shard, batch["idxs"],
-                                             losses, cfg.priority_exponent)
-            return (agent, rep_shard), jax.lax.pmean(losses.mean(), axis_name)
+            shard = rp.update_priorities(shard, batch["idxs"],
+                                         losses, cfg.priority_exponent)
+            return (agent, shard.priorities, shard.max_priority), \
+                jax.lax.pmean(losses.mean(), axis_name)
 
-        (agent, rep_shard), losses = jax.lax.scan(
-            one_learn, (agent, rep_shard), jax.random.split(key, num_learns))
-        return agent, rep_shard, losses.mean()
+        (agent, priorities, max_p), losses = jax.lax.scan(
+            one_learn, (agent, rep_shard.priorities, rep_shard.max_priority),
+            jax.random.split(key, num_learns))
+        return agent, rep_shard.replace(priorities=priorities,
+                                        max_priority=max_p), losses.mean()
 
     # Replay scalar leaves (index/full/max_priority) are replicated; array
     # leaves are env-sharded on their leading axis.

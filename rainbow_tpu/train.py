@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Optional
 
 import jax
@@ -59,7 +60,8 @@ def make_env_factory(cfg: RainbowConfig) -> Callable:
     return factory
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "action_space"))
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
+                   donate_argnames=("stack", "rep"))
 def actor_step(params, noise_key, cfg: RainbowConfig, action_space: int,
                stack, rep: rp.ReplayState, prev_actions, obs, reset_frames,
                rewards, dones, kinds):
@@ -75,20 +77,45 @@ def actor_step(params, noise_key, cfg: RainbowConfig, action_space: int,
     return actions, stack, rep
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
+                   donate_argnames=("stack", "rep"))
+def update_step(cfg: RainbowConfig, action_space: int, stack,
+                rep: rp.ReplayState, prev_actions, obs, reset_frames,
+                rewards, dones, kinds):
+    """Pipelined-mode device program: replay append + frame-stack advance
+    WITHOUT action selection (actions were already computed from the
+    previous state, overlapping the engine step)."""
+    if cfg.reward_clip > 0:
+        rewards = jnp.clip(rewards, -cfg.reward_clip, cfg.reward_clip)
+    rep = rp.append(rep, stack[..., -1], prev_actions, rewards, dones)
+    stack = update_framestack(stack, obs, reset_frames, kinds)
+    return stack, rep
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space",
-                                             "num_learns"))
+                                             "num_learns"),
+                   donate_argnames=("agent", "rep"))
 def learner_round(agent: ag.AgentState, rep: rp.ReplayState,
                   cfg: RainbowConfig, action_space: int, num_learns: int,
                   beta, key):
-    """`num_learns` sequential C51 updates as one XLA program."""
-    def body(carry, k):
-        a, r = carry
-        a, r, loss = ag.learn_step(a, r, cfg, action_space, beta, k)
-        return (a, r), loss
+    """`num_learns` sequential C51 updates as one XLA program.
 
-    (agent, rep), losses = jax.lax.scan(
-        body, (agent, rep), jax.random.split(key, num_learns))
-    return agent, rep, losses.mean()
+    The scan carry holds ONLY the leaves a learn step mutates (agent,
+    priorities, max_priority); the multi-GB frame/reward/timestep arrays are
+    loop invariants read from the closure — carrying them forces XLA to
+    materialise a full padded copy of the replay inside the loop (observed:
+    an 11 GB HLO temp at 1024 envs × 1M transitions)."""
+    def body(carry, k):
+        a, priorities, max_p = carry
+        r = rep.replace(priorities=priorities, max_priority=max_p)
+        a, r, loss = ag.learn_step(a, r, cfg, action_space, beta, k)
+        return (a, r.priorities, r.max_priority), loss
+
+    (agent, priorities, max_p), losses = jax.lax.scan(
+        body, (agent, rep.priorities, rep.max_priority),
+        jax.random.split(key, num_learns))
+    return agent, rep.replace(priorities=priorities, max_priority=max_p), \
+        losses.mean()
 
 
 class Trainer:
@@ -127,6 +154,31 @@ class Trainer:
             self.iters_per_learn = cfg.replay_frequency // cfg.num_envs
         self.beta_rate = ((1.0 - cfg.priority_weight)
                           / max(cfg.total_steps - cfg.learn_start, 1))
+
+        # Multi-device data parallelism: replicated agent, env-sharded
+        # replay, psum-mean learner (parallel/learner.py).
+        self._dist_learn = None
+        if cfg.data_parallel:
+            from rainbow_tpu.parallel.learner import (make_distributed_learn,
+                                                      shard_states)
+            from rainbow_tpu.parallel.mesh import make_mesh
+            n_dev = len(jax.devices())
+            assert cfg.num_envs % n_dev == 0, (
+                f"num_envs {cfg.num_envs} must divide over {n_dev} devices")
+            self.mesh = make_mesh()
+            self._dist_learn = make_distributed_learn(
+                self.mesh, cfg, self.action_space, self.learns_per_iter)
+            self.agent, self.rep, _ = shard_states(
+                self.mesh, self.agent, self.rep,
+                jnp.zeros((cfg.num_envs, 1, 1, 1)))
+
+    def _run_learner_round(self, beta, key):
+        if self._dist_learn is not None:
+            return self._dist_learn(self.agent, self.rep,
+                                    jnp.float32(beta), key)
+        return learner_round(self.agent, self.rep, self.cfg,
+                             self.action_space, self.learns_per_iter,
+                             jnp.float32(beta), key)
 
     # ---- persistence ----------------------------------------------------
     def _full_state(self, include_replay: bool):
@@ -186,32 +238,58 @@ class Trainer:
 
         stack = init_framestack(cfg.num_envs, cfg.history_length,
                                 jnp.asarray(self.env.reset_all()))
+        if self._dist_learn is not None:
+            from rainbow_tpu.parallel.mesh import env_sharded
+            stack = jax.device_put(stack, env_sharded(self.mesh))
         self.loop_key, k0 = jax.random.split(self.loop_key)
         actions = ag.act(self.agent.params, cfg, self.action_space,
                          to_network_input(stack), self.agent.noise_key)
+        acts_np = np.asarray(actions)
+        pool = ThreadPoolExecutor(1) if cfg.pipeline_actor else None
         it = 0
         next_target_sync = cfg.target_update
         next_eval = cfg.evaluation_interval
         next_ckpt = cfg.checkpoint_interval or float("inf")
         while self.T < cfg.total_steps:
             it += 1
-            self.timer.start("env")
-            frames2, rewards, dones, kinds = self.env.step(np.asarray(actions))
-            self.timer.stop("env")
             self.T += cfg.num_envs
-
             learning = self.T >= cfg.learn_start
             if learning and it % self.iters_per_learn == 0:
                 self.agent = ag.reset_noise(self.agent)  # main.py:150-151
 
-            self.timer.start("actor")
-            actions, stack, self.rep = actor_step(
-                self.agent.params, self.agent.noise_key, cfg,
-                self.action_space, stack, self.rep, actions,
-                jnp.asarray(frames2[:, 0]), jnp.asarray(frames2[:, 1]),
-                jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
-                jnp.asarray(kinds))
-            self.timer.stop("actor")
+            if cfg.pipeline_actor:
+                # Overlap: engine steps a_t on a worker thread while the
+                # device computes a_{t+1} = π(S_t) (1-step policy lag).
+                self.timer.start("env")
+                fut = pool.submit(self.env.step, acts_np)
+                next_actions = ag.act(self.agent.params, cfg,
+                                      self.action_space,
+                                      to_network_input(stack),
+                                      self.agent.noise_key)
+                next_acts_np = np.asarray(next_actions)
+                obs, resets, rewards, dones, kinds = fut.result()
+                self.timer.stop("env")
+                self.timer.start("actor")
+                stack, self.rep = update_step(
+                    cfg, self.action_space, stack, self.rep, actions,
+                    jnp.asarray(obs), jnp.asarray(resets),
+                    jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+                    jnp.asarray(kinds))
+                self.timer.stop("actor")
+                actions, acts_np = next_actions, next_acts_np
+            else:
+                self.timer.start("env")
+                obs, resets, rewards, dones, kinds = self.env.step(acts_np)
+                self.timer.stop("env")
+                self.timer.start("actor")
+                actions, stack, self.rep = actor_step(
+                    self.agent.params, self.agent.noise_key, cfg,
+                    self.action_space, stack, self.rep, actions,
+                    jnp.asarray(obs), jnp.asarray(resets),
+                    jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+                    jnp.asarray(kinds))
+                acts_np = np.asarray(actions)
+                self.timer.stop("actor")
 
             if learning:
                 beta = min(1.0, cfg.priority_weight
@@ -219,9 +297,8 @@ class Trainer:
                 if it % self.iters_per_learn == 0:
                     self.timer.start("learn")
                     self.loop_key, k = jax.random.split(self.loop_key)
-                    self.agent, self.rep, loss = learner_round(
-                        self.agent, self.rep, cfg, self.action_space,
-                        self.learns_per_iter, jnp.float32(beta), k)
+                    self.agent, self.rep, loss = self._run_learner_round(
+                        beta, k)
                     self.timer.stop("learn")
 
                 if self.T >= next_target_sync:  # main.py:177-178
@@ -241,5 +318,7 @@ class Trainer:
                     self.save_checkpoint()
                     next_ckpt += cfg.checkpoint_interval
 
+        if pool is not None:
+            pool.shutdown()
         self.env.close()
         return self.metrics

@@ -35,14 +35,14 @@ def test_step_shapes_and_determinism(pong):
     np.testing.assert_array_equal(fa, fb)
     for _ in range(50):
         acts = rng.integers(0, 6, 3)
-        fa2, ra, da, ka = env_a.step(acts)
-        fb2, rb, db, kb = env_b.step(acts.copy())
+        oa, rsa, ra, da, ka = env_a.step(acts)
+        ob_, rsb, rb, db, kb = env_b.step(acts.copy())
         np.testing.assert_array_equal(ra, rb)
         np.testing.assert_array_equal(da, db)
         np.testing.assert_array_equal(ka, kb)
-        np.testing.assert_array_equal(fa2[:, 0], fb2[:, 0])
-        # slot 1 (reset frame) is only defined where a reset occurred
-        np.testing.assert_array_equal(fa2[ka > 0, 1], fb2[kb > 0, 1])
+        np.testing.assert_array_equal(oa, ob_)
+        # reset frames are only defined where a reset occurred
+        np.testing.assert_array_equal(rsa[ka > 0], rsb[kb > 0])
     env_a.close()
     env_b.close()
 
@@ -54,7 +54,7 @@ def test_pong_scores_eventually():
     rng = np.random.default_rng(1)
     total = 0.0
     for _ in range(600):
-        _, r, _, _ = env.step(rng.integers(0, 6, 8))
+        _, _, r, _, _ = env.step(rng.integers(0, 6, 8))
         total += np.abs(r).sum()
     assert total > 0
     env.close()
@@ -69,7 +69,7 @@ def test_breakout_life_loss_training_vs_eval():
         rng = np.random.default_rng(2)
         kinds, dones = [], 0
         for _ in range(800):
-            _, _, d, k = env.step(rng.integers(0, 4, 4))
+            _, _, _, d, k = env.step(rng.integers(0, 4, 4))
             kinds.extend(k[d == 1].tolist())
             dones += int(d.sum())
         env.close()
@@ -89,7 +89,7 @@ def test_pong_has_no_life_terminals():
     env.reset_all()
     rng = np.random.default_rng(3)
     for _ in range(2000):
-        _, _, d, k = env.step(rng.integers(0, 6, 4))
+        _, _, _, d, k = env.step(rng.integers(0, 6, 4))
         assert np.all(k[d == 0] == 0)
         assert np.all(k[d == 1] == 2)  # only full resets
     env.close()
@@ -101,7 +101,7 @@ def test_max_episode_length_forces_reset():
     env.reset_all()
     done_seen = False
     for _ in range(200):  # 200 agent steps ≥ 400 raw frames guaranteed
-        _, _, d, k = env.step(np.zeros(2, np.int64))
+        _, _, _, d, k = env.step(np.zeros(2, np.int64))
         if d.any():
             done_seen = True
             assert np.all(k[d == 1] == 2)

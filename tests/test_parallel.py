@@ -109,6 +109,26 @@ def test_distributed_grads_equal_mean_of_local_grads(setup):
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_data_parallel_trainer(tmp_path):
+    """Full training loop with data_parallel=True over the 8-device mesh."""
+    from rainbow_tpu.train import Trainer
+    cfg = rainbow_tpu.data_efficient(
+        num_envs=16, memory_capacity=16 * 256, batch_size=16,
+        total_steps=300, learn_start=64, replay_frequency=4,
+        target_update=128, evaluation_interval=10 ** 9,
+        evaluation_episodes=2, evaluation_size=10,
+        architecture="data-efficient", hidden_size=32, multi_step=3,
+        env_backend="fake", results_dir=str(tmp_path), run_id="dp",
+        max_episode_length=400, data_parallel=True)
+    tr = Trainer(cfg)
+    tr.run()
+    assert tr.T >= cfg.total_steps
+    leaf = jax.tree_util.tree_leaves(tr.agent.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
 def test_graft_entry_points():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

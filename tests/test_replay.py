@@ -96,7 +96,7 @@ def test_sample_reconstruction_against_slow_reference():
 
     batch = rp.sample(st, jax.random.key(1), jnp.float32(0.4),
                       batch_size=16, history=h, n_step=n, discount=gamma)
-    frames = np.asarray(st.frames)
+    frames = np.asarray(st.frames).reshape(E, C, 84, 84)
     ts = np.asarray(st.timesteps)
     rew = np.asarray(st.rewards)
     act = np.asarray(st.actions)

@@ -26,8 +26,9 @@ def tiny_cfg(tmp_path, **kw):
     return rainbow_tpu.data_efficient(**base)
 
 
-def test_full_training_loop_fake_env(tmp_path):
-    cfg = tiny_cfg(tmp_path)
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_full_training_loop_fake_env(tmp_path, pipeline):
+    cfg = tiny_cfg(tmp_path, pipeline_actor=pipeline)
     tr = Trainer(cfg)
     metrics = tr.run()
     assert tr.T >= cfg.total_steps
@@ -86,10 +87,10 @@ def test_learning_on_fake_env_improves_reward(tmp_path):
     for _ in range(50):
         acts = ag.act(tr.agent.params, cfg, env.action_space,
                       to_network_input(stack), None)
-        frames2, r, d, k = env.step(np.asarray(acts))
+        obs, resets, r, d, k = env.step(np.asarray(acts))
         total += r.sum()
-        stack = update_framestack(stack, jnp.asarray(frames2[:, 0]),
-                                  jnp.asarray(frames2[:, 1]), jnp.asarray(k))
+        stack = update_framestack(stack, jnp.asarray(obs),
+                                  jnp.asarray(resets), jnp.asarray(k))
     per_episode = total / 8
     random_score = 50 / env.action_space  # 12.5
     assert per_episode > random_score * 1.5, per_episode
