@@ -40,10 +40,12 @@ def info(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_batched(cfg, game, num_envs, iters, pipeline=False):
+def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1):
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    from rainbow_tpu.train import update_step
+    from rainbow_tpu.train import (actor_step_packed, pack_resets,
+                                    update_step_packed)
 
     env = BatchedEnv(game, num_envs, seed=1)
     A = env.action_space
@@ -55,35 +57,68 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False):
                      agent.noise_key)
     acts_np = np.asarray(actions)
     pool = ThreadPoolExecutor(1) if pipeline else None
+    queue = deque([actions] * max(depth, 1))
 
-    def serial_iter(actions, acts_np, stack, rep):
+    def serial_iter(stack, rep):
+        nonlocal actions, acts_np
         obs, resets, rewards, dones, kinds = env.step(acts_np)
-        actions, stack, rep = actor_step(
+        packed, ridx = pack_resets(resets, kinds)
+        actions, stack, rep = actor_step_packed(
             agent.params, agent.noise_key, cfg, A, stack, rep, actions,
-            jnp.asarray(obs), jnp.asarray(resets),
+            jnp.asarray(obs), jnp.asarray(packed), jnp.asarray(ridx),
             jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
             jnp.asarray(kinds))
-        return actions, np.asarray(actions), stack, rep
+        acts_np = np.asarray(actions)
+        return stack, rep
 
-    def pipelined_iter(actions, acts_np, stack, rep):
-        fut = pool.submit(env.step, acts_np)
-        next_actions = ag.act(agent.params, cfg, A, to_network_input(stack),
-                              agent.noise_key)
-        next_np = np.asarray(next_actions)
+    def pipelined_iter(stack, rep):
+        a_exec = queue.popleft()
+        a_np = np.asarray(a_exec)
+        fut = pool.submit(env.step, a_np)
+        a_new = ag.act(agent.params, cfg, A, to_network_input(stack),
+                       agent.noise_key)
+        a_new.copy_to_host_async()
+        queue.append(a_new)
         obs, resets, rewards, dones, kinds = fut.result()
-        stack, rep = update_step(
-            cfg, A, stack, rep, actions, jnp.asarray(obs),
-            jnp.asarray(resets), jnp.asarray(rewards),
+        packed, ridx = pack_resets(resets, kinds)
+        stack, rep = update_step_packed(
+            cfg, A, stack, rep, a_exec, jnp.asarray(obs),
+            jnp.asarray(packed), jnp.asarray(ridx), jnp.asarray(rewards),
             jnp.asarray(dones.astype(bool)), jnp.asarray(kinds))
-        return next_actions, next_np, stack, rep
+        return stack, rep
 
     one_iter = pipelined_iter if pipeline else serial_iter
     for _ in range(3):  # warmup (compile)
-        actions, acts_np, stack, rep = one_iter(actions, acts_np, stack, rep)
+        stack, rep = one_iter(stack, rep)
+    # Precompile the likely reset-bucket specialisations so a first-seen
+    # bucket doesn't pay a full (remote) compile mid-measurement.
+    from rainbow_tpu.train import _RESET_BUCKETS
+    for b in _RESET_BUCKETS:
+        if 0 < b <= num_envs:
+            kinds = np.zeros(num_envs, np.uint8)
+            kinds[:max(b // 2, 1)] = 2
+            resets = np.zeros((num_envs, 84, 84), np.uint8)
+            packed, ridx = pack_resets(resets, kinds)
+            fn = update_step_packed if pipeline else None
+            if pipeline:
+                stack, rep = update_step_packed(
+                    cfg, A, stack, rep, jnp.zeros(num_envs, jnp.int32),
+                    jnp.zeros((num_envs, 84, 84), jnp.uint8),
+                    jnp.asarray(packed), jnp.asarray(ridx),
+                    jnp.zeros(num_envs), jnp.zeros(num_envs, bool),
+                    jnp.asarray(kinds))
+            else:
+                actions_, stack, rep = actor_step_packed(
+                    agent.params, agent.noise_key, cfg, A, stack, rep,
+                    jnp.zeros(num_envs, jnp.int32),
+                    jnp.zeros((num_envs, 84, 84), jnp.uint8),
+                    jnp.asarray(packed), jnp.asarray(ridx),
+                    jnp.zeros(num_envs), jnp.zeros(num_envs, bool),
+                    jnp.asarray(kinds))
     jax.block_until_ready(stack)
     t0 = time.perf_counter()
     for _ in range(iters):
-        actions, acts_np, stack, rep = one_iter(actions, acts_np, stack, rep)
+        stack, rep = one_iter(stack, rep)
     jax.block_until_ready(stack)
     dt = time.perf_counter() - t0
     env.close()
@@ -150,12 +185,15 @@ def main():
                                 batch_size=32)
     info(f"devices: {jax.devices()}")
 
-    batched_sps, (agent, rep, A) = bench_batched(cfg, game, num_envs, iters)
+    batched_sps, state = bench_batched(cfg, game, num_envs, iters)
     info(f"batched actor (serial): {batched_sps:.0f} env-steps/s "
          f"@ {num_envs} envs")
-    piped_sps, _ = bench_batched(cfg, game, num_envs, iters, pipeline=True)
-    info(f"batched actor (pipelined): {piped_sps:.0f} env-steps/s "
-         f"@ {num_envs} envs")
+    del state  # free the multi-GB replay before the next allocation
+    depth = int(os.environ.get("BENCH_DEPTH", 2))
+    piped_sps, (agent, rep, A) = bench_batched(cfg, game, num_envs, iters,
+                                               pipeline=True, depth=depth)
+    info(f"batched actor (pipelined, depth {depth}): {piped_sps:.0f} "
+         f"env-steps/s @ {num_envs} envs")
     batched_sps = max(batched_sps, piped_sps)
 
     updates_ps, last_loss = bench_learner(cfg, agent, rep, A)

@@ -56,11 +56,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="restore a full atomic checkpoint (exact resume — "
                         "unlike the reference's partial weights+memory resume)")
+    p.add_argument("--render", action="store_true", default=None,
+                   help="save eval-episode frames (reference --render)")
     # TPU-native knobs
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--env-backend", default=None, choices=["native", "fake"])
+    p.add_argument("--pipeline-actor", action="store_true", default=None)
+    p.add_argument("--data-parallel", action="store_true", default=None)
+    p.add_argument("--use-pallas-head", action="store_true", default=None)
+    p.add_argument("--profile", action="store_true", default=None,
+                   help="capture a jax.profiler trace of the training loop")
     return p
 
 

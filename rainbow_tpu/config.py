@@ -72,10 +72,22 @@ class RainbowConfig:
     # compute by accepting a 1-step policy lag (actions for step t+1 are
     # computed from state t). Off by default for strict reference parity;
     # recommended at high env counts where the lag is negligible.
+    pipeline_depth: int = 1            # action-queue depth D when
+    # pipeline_actor is on: actions execute D steps after the state they were
+    # computed from, letting D device→host action fetches drain concurrently
+    # (hides fetch RTT; essential on high-latency links). D=1 is the classic
+    # 1-step lag; larger D trades policy freshness for throughput, like
+    # distributed actor systems (Ape-X/IMPALA-style staleness).
     data_parallel: bool = False        # shard envs/replay over all local
     # devices ('data' mesh): replicated agent, per-device replay shards,
     # psum-mean gradients (parallel/learner.py). Requires num_envs and
     # batch_size divisible by the device count.
+
+    # Observability
+    render: bool = False               # save eval-episode frames as PNGs
+    # (headless analogue of reference env.py:90-92 cv2.imshow)
+    profile: bool = False              # capture a jax.profiler trace of the
+    # steady-state training loop into results/<id>/trace (SURVEY.md §5)
 
     # Persistence
     model_path: Optional[str] = None   # reference main.py:35 --model (resume/eval)

@@ -342,6 +342,8 @@ void renv_reset_all(void* h, uint8_t* frames) {
   static_cast<rainbow::Engine*>(h)->reset_all(frames);
 }
 
+int renv_ale_available() { return rainbow::ale_backend_available(); }
+
 void renv_step(void* h, const int32_t* actions, uint8_t* obs,
                uint8_t* reset_frames, float* rewards, uint8_t* dones,
                uint8_t* reset_kinds) {

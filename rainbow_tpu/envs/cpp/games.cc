@@ -487,7 +487,9 @@ Game* make_game(const char* name) {
   if (g == "breakout") return new Breakout();
   if (g == "space_invaders") return new SpaceInvaders();
   if (g == "freeway") return new Freeway();
-  return nullptr;
+  // Fall through to the real ALE (dlopen'd) for any other game name when a
+  // libale + ROM directory are configured (see ale_backend.cc).
+  return make_ale_game(name);
 }
 
 }  // namespace rainbow

@@ -60,5 +60,7 @@ struct Canvas {
 };
 
 Game* make_game(const char* name);
+Game* make_ale_game(const char* name);  // ale_backend.cc (dlopen'd real ALE)
+int ale_backend_available();
 
 }  // namespace rainbow

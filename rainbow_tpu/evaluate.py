@@ -48,10 +48,12 @@ def build_validation_states(cfg: RainbowConfig, make_env) -> jax.Array:
 
 
 def run_episodes(cfg: RainbowConfig, params, action_space: int, make_env,
-                 key: jax.Array, num_episodes: int) -> List[float]:
+                 key: jax.Array, num_episodes: int,
+                 render_dir: str = "") -> List[float]:
     """One episode per parallel eval env; returns per-episode total rewards
     (unclipped, reference test.py:21-34). Eval mode: life losses do not
-    terminate (reference env.py:70 gate off)."""
+    terminate (reference env.py:70 gate off). render_dir: if set, saves env
+    0's frames as PNGs there (headless analogue of reference env.py:90-92)."""
     env = make_env(num_envs=num_episodes, training=False)
     stack = init_framestack(num_episodes, cfg.history_length,
                             jnp.asarray(env.reset_all()))
@@ -71,9 +73,23 @@ def run_episodes(cfg: RainbowConfig, params, action_space: int, make_env,
         stack = update_framestack(stack, jnp.asarray(obs),
                                   jnp.asarray(resets),
                                   jnp.asarray(kinds))
+        if render_dir and not finished[0]:
+            _save_frame(render_dir, it, obs[0])
         it += 1
     env.close()
     return totals.tolist()
+
+
+def _save_frame(render_dir: str, step: int, frame) -> None:
+    import os
+    os.makedirs(render_dir, exist_ok=True)
+    path = f"{render_dir}/frame_{step:06d}"
+    try:
+        import cv2
+        cv2.imwrite(path + ".png", np.asarray(frame))
+    except ImportError:  # binary PGM needs no image library
+        with open(path + ".pgm", "wb") as f:
+            f.write(b"P5\n84 84\n255\n" + np.asarray(frame).tobytes())
 
 
 def validation_q(cfg: RainbowConfig, params, action_space: int,
@@ -90,7 +106,11 @@ def validation_q(cfg: RainbowConfig, params, action_space: int,
 def evaluate(cfg: RainbowConfig, params, action_space: int, make_env,
              val_states: jax.Array, key: jax.Array
              ) -> Tuple[float, float, List[float], List[float]]:
+    render_dir = ""
+    if cfg.render:
+        import os
+        render_dir = os.path.join(cfg.results_dir, cfg.run_id, "render")
     rewards = run_episodes(cfg, params, action_space, make_env, key,
-                           cfg.evaluation_episodes)
+                           cfg.evaluation_episodes, render_dir=render_dir)
     qs = validation_q(cfg, params, action_space, val_states)
     return (float(np.mean(rewards)), float(np.mean(qs)), rewards, qs)

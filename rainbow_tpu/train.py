@@ -92,6 +92,58 @@ def update_step(cfg: RainbowConfig, action_space: int, stack,
     return stack, rep
 
 
+_RESET_BUCKETS = (0, 8, 32, 128, 512, 2048, 8192)
+
+
+def pack_resets(resets: np.ndarray, kinds: np.ndarray):
+    """Pack the post-reset frames of the envs that actually reset.
+
+    The engine writes a full (N, 84, 84) reset buffer but only rows with
+    kind > 0 are meaningful; uploading all N costs as much as the obs upload
+    itself. Returns (packed[K, 84, 84], idx[K]) with K the smallest bucket
+    ≥ the reset count (bucketing bounds jit specialisations); idx pads with
+    N, dropped by the device-side scatter."""
+    n = kinds.shape[0]
+    idx = np.flatnonzero(kinds)
+    k = len(idx)
+    for b in _RESET_BUCKETS:
+        if b >= k:
+            kp = min(b, n)
+            break
+    else:
+        kp = n
+    out_idx = np.full((kp,), n, np.int32)
+    out_idx[:k] = idx
+    packed = np.zeros((kp,) + resets.shape[1:], resets.dtype)
+    packed[:k] = resets[idx]
+    return packed, out_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
+                   donate_argnames=("stack", "rep"))
+def actor_step_packed(params, noise_key, cfg: RainbowConfig,
+                      action_space: int, stack, rep: rp.ReplayState,
+                      prev_actions, obs, reset_packed, reset_idx, rewards,
+                      dones, kinds):
+    """actor_step with packed reset frames (see pack_resets)."""
+    reset_frames = jnp.zeros_like(obs).at[reset_idx].set(
+        reset_packed, mode="drop")
+    return actor_step(params, noise_key, cfg, action_space, stack, rep,
+                      prev_actions, obs, reset_frames, rewards, dones, kinds)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
+                   donate_argnames=("stack", "rep"))
+def update_step_packed(cfg: RainbowConfig, action_space: int, stack,
+                       rep: rp.ReplayState, prev_actions, obs, reset_packed,
+                       reset_idx, rewards, dones, kinds):
+    """update_step with packed reset frames (see pack_resets)."""
+    reset_frames = jnp.zeros_like(obs).at[reset_idx].set(
+        reset_packed, mode="drop")
+    return update_step(cfg, action_space, stack, rep, prev_actions, obs,
+                       reset_frames, rewards, dones, kinds)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space",
                                              "num_learns"),
                    donate_argnames=("agent", "rep"))
@@ -246,46 +298,69 @@ class Trainer:
                          to_network_input(stack), self.agent.noise_key)
         acts_np = np.asarray(actions)
         pool = ThreadPoolExecutor(1) if cfg.pipeline_actor else None
+        # Depth-D pipeline: seed the queue with D copies of the first action
+        # set (a brief startup transient; lag settles to D steps).
+        from collections import deque
+        action_queue = deque([actions] * max(cfg.pipeline_depth, 1))
         it = 0
         next_target_sync = cfg.target_update
         next_eval = cfg.evaluation_interval
         next_ckpt = cfg.checkpoint_interval or float("inf")
+        profiling = False
         while self.T < cfg.total_steps:
             it += 1
+            if cfg.profile:  # trace a steady-state window (SURVEY.md §5)
+                if it == 20:
+                    jax.profiler.start_trace(
+                        os.path.join(self.results_dir, "trace"))
+                    profiling = True
+                elif it == 40 and profiling:
+                    jax.block_until_ready(actions)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log(f"Profiler trace written to {self.results_dir}/trace")
             self.T += cfg.num_envs
             learning = self.T >= cfg.learn_start
             if learning and it % self.iters_per_learn == 0:
                 self.agent = ag.reset_noise(self.agent)  # main.py:150-151
 
             if cfg.pipeline_actor:
-                # Overlap: engine steps a_t on a worker thread while the
-                # device computes a_{t+1} = π(S_t) (1-step policy lag).
+                # Overlap: engine steps on a worker thread while the device
+                # computes future actions; a depth-D queue keeps D action
+                # fetches in flight so fetch RTT amortises over D iterations.
+                a_exec = action_queue.popleft()
+                self.timer.start("fetch")
+                acts_np = np.asarray(a_exec)
+                self.timer.stop("fetch")
                 self.timer.start("env")
                 fut = pool.submit(self.env.step, acts_np)
-                next_actions = ag.act(self.agent.params, cfg,
-                                      self.action_space,
-                                      to_network_input(stack),
-                                      self.agent.noise_key)
-                next_acts_np = np.asarray(next_actions)
+                a_new = ag.act(self.agent.params, cfg, self.action_space,
+                               to_network_input(stack),
+                               self.agent.noise_key)
+                a_new.copy_to_host_async()
+                action_queue.append(a_new)
                 obs, resets, rewards, dones, kinds = fut.result()
                 self.timer.stop("env")
                 self.timer.start("actor")
-                stack, self.rep = update_step(
-                    cfg, self.action_space, stack, self.rep, actions,
-                    jnp.asarray(obs), jnp.asarray(resets),
+                packed, ridx = pack_resets(resets, kinds)
+                stack, self.rep = update_step_packed(
+                    cfg, self.action_space, stack, self.rep, a_exec,
+                    jnp.asarray(obs), jnp.asarray(packed),
+                    jnp.asarray(ridx),
                     jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
                     jnp.asarray(kinds))
                 self.timer.stop("actor")
-                actions, acts_np = next_actions, next_acts_np
             else:
                 self.timer.start("env")
                 obs, resets, rewards, dones, kinds = self.env.step(acts_np)
                 self.timer.stop("env")
                 self.timer.start("actor")
-                actions, stack, self.rep = actor_step(
+                packed, ridx = pack_resets(resets, kinds)
+                actions, stack, self.rep = actor_step_packed(
                     self.agent.params, self.agent.noise_key, cfg,
                     self.action_space, stack, self.rep, actions,
-                    jnp.asarray(obs), jnp.asarray(resets),
+                    jnp.asarray(obs), jnp.asarray(packed),
+                    jnp.asarray(ridx),
                     jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
                     jnp.asarray(kinds))
                 acts_np = np.asarray(actions)
