@@ -40,6 +40,10 @@ def info(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def game_action_space(game):
+    return {"pong": 6, "breakout": 4, "space_invaders": 6, "freeway": 3}[game]
+
+
 def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1):
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -161,7 +165,24 @@ def bench_single_env_reference_style(cfg, game, steps):
     return steps / dt
 
 
-def bench_learner(cfg, agent, rep, A, rounds=5, learns_per_round=8):
+def make_learner_state(cfg, A, num_envs):
+    """Fresh agent + replay filled with synthetic transitions."""
+    agent = ag.init_agent(jax.random.key(0), cfg, A)
+    rep = rp.init_replay(num_envs, cfg.capacity_per_env, cfg.frame_size)
+    append = jax.jit(rp.append, donate_argnums=0)  # eager appends on a
+    # multi-GB state would copy every array per op
+    rng = np.random.default_rng(0)
+    for _ in range(48):
+        rep = append(
+            rep, jnp.asarray(rng.integers(0, 255, (num_envs, 84, 84),
+                                          np.uint8)),
+            jnp.zeros(num_envs, jnp.int32), jnp.zeros(num_envs),
+            jnp.zeros(num_envs, bool))
+    jax.block_until_ready(rep.priorities)
+    return agent, rep
+
+
+def bench_learner(cfg, agent, rep, A, rounds=5, learns_per_round=32):
     key = jax.random.key(5)
     agent, rep, loss = learner_round(agent, rep, cfg, A, learns_per_round,
                                      jnp.float32(0.5), key)  # compile
@@ -185,20 +206,26 @@ def main():
                                 batch_size=32)
     info(f"devices: {jax.devices()}")
 
+    # Learner first, on its own fresh state (a multi-GB actor replay left
+    # resident alongside skews the measurement badly).
+    agent, rep = make_learner_state(cfg, game_action_space(game), num_envs)
+    updates_ps, last_loss = bench_learner(cfg, agent, rep,
+                                          game_action_space(game))
+    info(f"learner: {updates_ps:.1f} updates/s (batch {cfg.batch_size}), "
+         f"loss={last_loss:.3f}")
+    del agent, rep
+
     batched_sps, state = bench_batched(cfg, game, num_envs, iters)
     info(f"batched actor (serial): {batched_sps:.0f} env-steps/s "
          f"@ {num_envs} envs")
     del state  # free the multi-GB replay before the next allocation
     depth = int(os.environ.get("BENCH_DEPTH", 2))
-    piped_sps, (agent, rep, A) = bench_batched(cfg, game, num_envs, iters,
-                                               pipeline=True, depth=depth)
+    piped_sps, state = bench_batched(cfg, game, num_envs, iters,
+                                     pipeline=True, depth=depth)
     info(f"batched actor (pipelined, depth {depth}): {piped_sps:.0f} "
          f"env-steps/s @ {num_envs} envs")
     batched_sps = max(batched_sps, piped_sps)
-
-    updates_ps, last_loss = bench_learner(cfg, agent, rep, A)
-    info(f"learner: {updates_ps:.1f} updates/s (batch {cfg.batch_size}), "
-         f"loss={last_loss:.3f}")
+    del state
 
     single_cfg = cfg.replace(num_envs=1)
     single_sps = bench_single_env_reference_style(

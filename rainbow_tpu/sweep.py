@@ -1,0 +1,75 @@
+"""Multi-game sweep driver — the BASELINE.json config-[4] analogue (the
+reference has no sweep tooling; runs were launched per-game by hand).
+
+Trains every requested game with a shared preset and writes a summary table
+(JSON + markdown) of final/best evaluation rewards.
+
+Run:  python -m rainbow_tpu.sweep --preset data-efficient --T-max 100000
+      [--games pong breakout ...]
+
+Multi-host sharding note: each process trains its slice of the game list
+(round-robin by process index) — launch one process per host with
+JAX_PROCESS_INDEX/COUNT-style env configuration and a shared results dir.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List
+
+from rainbow_tpu import config as cfg_mod
+from rainbow_tpu.cli import build_parser
+from rainbow_tpu.envs.engine import GAMES
+from rainbow_tpu.utils.logging import log
+
+
+def run_sweep(argv=None) -> dict:
+    parser = build_parser()
+    parser.add_argument("--games", nargs="*", default=list(GAMES))
+    parser.add_argument("--process-index", type=int,
+                        default=int(os.environ.get("RAINBOW_PROC_INDEX", 0)))
+    parser.add_argument("--process-count", type=int,
+                        default=int(os.environ.get("RAINBOW_PROC_COUNT", 1)))
+    args = parser.parse_args(argv)
+    cfg = cfg_mod.PRESETS[args.preset]()
+    overrides = {k: v for k, v in vars(args).items()
+                 if v is not None and hasattr(cfg, k)
+                 and k not in ("games", "process_index", "process_count")}
+    cfg = cfg.replace(**overrides)
+
+    my_games: List[str] = [g for i, g in enumerate(args.games)
+                           if i % args.process_count == args.process_index]
+    results = {}
+    from rainbow_tpu.train import Trainer
+    for game in my_games:
+        run_cfg = cfg.replace(game=game, run_id=f"{cfg.run_id}-{game}")
+        log(f"=== sweep: {game} ===")
+        tr = Trainer(run_cfg)
+        metrics = tr.run()
+        rewards = metrics["rewards"][-1] if metrics["rewards"] else []
+        results[game] = {
+            "best_avg_reward": metrics["best_avg_reward"],
+            "final_avg_reward": (sum(rewards) / len(rewards)
+                                 if rewards else None),
+            "evals": len(metrics["steps"]),
+        }
+        log(f"=== {game}: best={results[game]['best_avg_reward']} ===")
+
+    out_dir = os.path.join(cfg.results_dir, cfg.run_id)
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = (f".p{args.process_index}" if args.process_count > 1 else "")
+    with open(os.path.join(out_dir, f"sweep{suffix}.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    lines = ["| game | best avg reward | final avg reward | evals |",
+             "|---|---|---|---|"]
+    for g, r in results.items():
+        lines.append(f"| {g} | {r['best_avg_reward']} | "
+                     f"{r['final_avg_reward']} | {r['evals']} |")
+    with open(os.path.join(out_dir, f"sweep{suffix}.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return results
+
+
+if __name__ == "__main__":
+    run_sweep()

@@ -146,28 +146,41 @@ def update_step_packed(cfg: RainbowConfig, action_space: int, stack,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space",
                                              "num_learns"),
-                   donate_argnames=("agent", "rep"))
-def learner_round(agent: ag.AgentState, rep: rp.ReplayState,
-                  cfg: RainbowConfig, action_space: int, num_learns: int,
-                  beta, key):
+                   donate_argnames=("agent", "priorities", "max_priority"))
+def _learner_round_impl(agent: ag.AgentState, rep: rp.ReplayState,
+                        priorities, max_priority, cfg: RainbowConfig,
+                        action_space: int, num_learns: int, beta, key):
     """`num_learns` sequential C51 updates as one XLA program.
 
-    The scan carry holds ONLY the leaves a learn step mutates (agent,
-    priorities, max_priority); the multi-GB frame/reward/timestep arrays are
-    loop invariants read from the closure — carrying them forces XLA to
-    materialise a full padded copy of the replay inside the loop (observed:
-    an 11 GB HLO temp at 1024 envs × 1M transitions)."""
+    Only the mutated leaves (agent, priorities, max_priority) are carried,
+    donated, and RETURNED. The multi-GB frame/reward/timestep arrays enter as
+    read-only inputs and are never outputs — returning them (even unchanged,
+    even donated) makes XLA materialise a full copy at the program boundary
+    (~20 ms for a 7 GB replay), and carrying them through the scan costs an
+    11 GB HLO temp (both observed at 1024 envs × 1M transitions)."""
     def body(carry, k):
-        a, priorities, max_p = carry
-        r = rep.replace(priorities=priorities, max_priority=max_p)
+        a, p, max_p = carry
+        r = rep.replace(priorities=p, max_priority=max_p)
         a, r, loss = ag.learn_step(a, r, cfg, action_space, beta, k)
         return (a, r.priorities, r.max_priority), loss
 
-    (agent, priorities, max_p), losses = jax.lax.scan(
-        body, (agent, rep.priorities, rep.max_priority),
+    (agent, priorities, max_priority), losses = jax.lax.scan(
+        body, (agent, priorities, max_priority),
         jax.random.split(key, num_learns))
-    return agent, rep.replace(priorities=priorities, max_priority=max_p), \
-        losses.mean()
+    return agent, priorities, max_priority, losses.mean()
+
+
+def learner_round(agent: ag.AgentState, rep: rp.ReplayState,
+                  cfg: RainbowConfig, action_space: int, num_learns: int,
+                  beta, key):
+    """See _learner_round_impl; reassembles the ReplayState for callers."""
+    rep_ro = rep.replace(priorities=jnp.zeros((0,)),  # not read by the impl
+                         max_priority=jnp.zeros(()))
+    agent, priorities, max_priority, loss = _learner_round_impl(
+        agent, rep_ro, rep.priorities, rep.max_priority, cfg, action_space,
+        num_learns, beta, key)
+    return agent, rep.replace(priorities=priorities,
+                              max_priority=max_priority), loss
 
 
 class Trainer:
