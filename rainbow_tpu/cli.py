@@ -8,6 +8,7 @@ Eval: python -m rainbow_tpu.cli --evaluate --model results/default/model.npz
 from __future__ import annotations
 
 import argparse
+import os
 
 from rainbow_tpu import config as cfg_mod
 from rainbow_tpu.utils.logging import log
@@ -82,6 +83,15 @@ def parse_config(argv=None):
 
 def main(argv=None):
     cfg, args = parse_config(argv)
+    # Persistent compilation cache: repeated runs (and checkpoint-resume
+    # segments) skip recompiles — significant where compiles are remote.
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cfg.results_dir, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     # Echo options (reference main.py:63-65).
     print(" " * 26 + "Options")
     for k, v in sorted(vars(cfg).items()):

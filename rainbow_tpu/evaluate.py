@@ -34,14 +34,20 @@ def build_validation_states(cfg: RainbowConfig, make_env) -> jax.Array:
     rep = rp.init_replay(n_envs, steps, cfg.frame_size)
     stack = init_framestack(n_envs, cfg.history_length,
                             jnp.asarray(env.reset_all()))
+
+    @jax.jit
+    def fill_step(rep, stack, actions, obs, resets, dones, kinds):
+        rep = rp.append(rep, stack[..., -1], actions,
+                        jnp.zeros(actions.shape[0]), dones)
+        return rep, update_framestack(stack, obs, resets, kinds)
+
     for _ in range(steps):
         actions = rng.integers(0, env.action_space, n_envs)
         obs, resets, _, dones, kinds = env.step(actions)
-        rep = rp.append(rep, stack[..., -1], jnp.asarray(actions),
-                        jnp.zeros(n_envs), jnp.asarray(dones.astype(bool)))
-        stack = update_framestack(stack, jnp.asarray(obs),
-                                  jnp.asarray(resets),
-                                  jnp.asarray(kinds))
+        rep, stack = fill_step(rep, stack, jnp.asarray(actions),
+                               jnp.asarray(obs), jnp.asarray(resets),
+                               jnp.asarray(dones.astype(bool)),
+                               jnp.asarray(kinds))
     env.close()
     states = rp.all_states(rep, cfg.history_length)
     return states[:cfg.evaluation_size]

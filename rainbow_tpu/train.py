@@ -316,11 +316,22 @@ class Trainer:
         from collections import deque
         action_queue = deque([actions] * max(cfg.pipeline_depth, 1))
         it = 0
-        next_target_sync = cfg.target_update
-        next_eval = cfg.evaluation_interval
-        next_ckpt = cfg.checkpoint_interval or float("inf")
+        # Schedule marks relative to the current T (exact after resume).
+        nxt = lambda interval: ((self.T // interval) + 1) * interval \
+            if interval else float("inf")
+        next_target_sync = nxt(cfg.target_update)
+        next_eval = nxt(cfg.evaluation_interval)
+        next_ckpt = nxt(cfg.checkpoint_interval)
         profiling = False
+        import time as _time
+        last_log_t, last_log_T = _time.time(), self.T
         while self.T < cfg.total_steps:
+            now = _time.time()
+            if now - last_log_t > 60:  # heartbeat: throughput every minute
+                sps = (self.T - last_log_T) / (now - last_log_t)
+                log(f"T = {self.T} | {sps:.0f} env-steps/s | "
+                    f"{self.timer.summary()}")
+                last_log_t, last_log_T = now, self.T
             it += 1
             if cfg.profile:  # trace a steady-state window (SURVEY.md §5)
                 if it == 20:
