@@ -1,4 +1,4 @@
-// Native games: pong, breakout, space_invaders, freeway.
+// Native games: pong, breakout, space_invaders, freeway, qbert.
 //
 // Real, learnable arcade dynamics at ALE screen geometry with ALE-style
 // minimal action sets, lives and scoring — stand-ins for the ALE ROMs the
@@ -479,6 +479,127 @@ class Freeway final : public Game {
   bool over_ = false;
 };
 
+// ---------------------------------------------------------------------------
+// Qbert: hop a 6-row cube pyramid to recolour every cube; a chasing ball
+// costs a life on contact; 4 lives; new round when the pyramid is cleared.
+// Minimal action set (5): NOOP UP RIGHT LEFT DOWN (diagonal hops on the
+// isometric pyramid — matches ALE qbert's 5-action minimal set... the real
+// set is 6 incl. FIRE=NOOP; we use 6 for parity). Lives make this the game
+// that exercises the reference's `lives > 0` guard (env.py:72) with real
+// life-loss pseudo-terminals.
+// ---------------------------------------------------------------------------
+class Qbert final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 4;
+    over_ = false;
+    new_round();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    ++frame_;
+    float reward = 0.0f;
+    if (freeze_ > 0) { --freeze_; return 0.0f; }  // post-death pause
+    // Player hops every kHopFrames frames (held action applies).
+    if (frame_ % kHopFrames == 0 && action >= 1 && action <= 4) {
+      int r = row_, c = col_;
+      switch (action) {
+        case 1: r -= 1; break;              // UP: up-right
+        case 2: r += 1; c += 1; break;      // RIGHT: down-right
+        case 3: r -= 1; c -= 1; break;      // LEFT: up-left
+        case 4: r += 1; break;              // DOWN: down-left
+      }
+      if (r < 0 || r >= kRows || c < 0 || c > r) {
+        lose_life();                        // hopped off the pyramid
+        return 0.0f;
+      }
+      row_ = r; col_ = c;
+      int idx = r * (r + 1) / 2 + c;
+      if (!done_[idx]) {
+        done_[idx] = 1;
+        reward = 25.0f;
+        if (++n_done_ == kCubes) {
+          reward += 100.0f;                 // round-clear bonus
+          new_round();
+        }
+      }
+    }
+    // Chasing ball hops toward the player at a slower cadence.
+    if (frame_ % (kHopFrames * 2) == 0) {
+      if (ball_row_ < 0) {                  // (re)spawn at the top
+        ball_row_ = 0; ball_col_ = 0;
+      } else {
+        ball_row_ += 1;
+        ball_col_ += (ball_col_ < col_ || (rng_.below(2) && ball_col_ > 0))
+                         ? (ball_col_ < row_ ? 1 : 0) : 0;
+        if (ball_row_ >= kRows) ball_row_ = -1;  // fell off the bottom
+      }
+    }
+    if (ball_row_ == row_ && ball_col_ == col_) lose_life();
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    c.rect(10, 0, 8, kScreenW, kDim);  // score band
+    for (int i = 0; i < lives_; ++i) c.rect(11, 8 + 7 * i, 6, 5, kBright);
+    for (int r = 0; r < kRows; ++r) {
+      for (int cc = 0; cc <= r; ++cc) {
+        int idx = r * (r + 1) / 2 + cc;
+        c.rect(cube_y(r), cube_x(r, cc), kCubeH - 2, kCubeW - 2,
+               done_[idx] ? (uint8_t)230 : (uint8_t)110);
+      }
+    }
+    c.rect(cube_y(row_) - 8, cube_x(row_, col_) + 4, 8, 8, kBright);
+    if (ball_row_ >= 0)
+      c.rect(cube_y(ball_row_) - 7, cube_x(ball_row_, ball_col_) + 6, 6, 6,
+             (uint8_t)70);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 6; }
+
+ private:
+  static constexpr int kRows = 6;
+  static constexpr int kCubes = kRows * (kRows + 1) / 2;  // 21
+  static constexpr int kCubeW = 22, kCubeH = 22;
+  static constexpr int kHopFrames = 12;
+
+  static int cube_y(int r) { return 48 + r * 24; }
+  static int cube_x(int r, int c) {
+    return 80 - r * (kCubeW / 2) + c * kCubeW - kCubeW / 2 + 11;
+  }
+
+  void lose_life() {
+    --lives_;
+    freeze_ = 30;
+    row_ = 0; col_ = 0;
+    ball_row_ = -1;
+    if (lives_ <= 0) over_ = true;
+  }
+  void new_round() {
+    std::fill(std::begin(done_), std::end(done_), 0);
+    n_done_ = 0;
+    row_ = 0; col_ = 0;
+    ball_row_ = -1;
+    frame_ = 0;
+    freeze_ = 0;
+    // Starting cube counts as visited (as in the real game).
+    done_[0] = 1; n_done_ = 1;
+  }
+
+  Rng rng_{0};
+  uint8_t done_[kCubes] = {};
+  int n_done_ = 0, row_ = 0, col_ = 0, ball_row_ = -1, ball_col_ = 0;
+  int lives_ = 4, frame_ = 0, freeze_ = 0;
+  bool over_ = false;
+};
+
 }  // namespace
 
 Game* make_game(const char* name) {
@@ -487,6 +608,7 @@ Game* make_game(const char* name) {
   if (g == "breakout") return new Breakout();
   if (g == "space_invaders") return new SpaceInvaders();
   if (g == "freeway") return new Freeway();
+  if (g == "qbert") return new Qbert();
   // Fall through to the real ALE (dlopen'd) for any other game name when a
   // libale + ROM directory are configured (see ale_backend.cc).
   return make_ale_game(name);

@@ -17,7 +17,7 @@ import numpy as np
 _CPP_DIR = os.path.join(os.path.dirname(__file__), "cpp")
 _LIB_PATH = os.path.join(_CPP_DIR, "librainbow_env.so")
 
-GAMES = ("pong", "breakout", "space_invaders", "freeway")
+GAMES = ("pong", "breakout", "space_invaders", "freeway", "qbert")
 FRAME = 84
 
 

@@ -13,7 +13,8 @@ def pong():
 
 
 def test_games_register_and_action_spaces():
-    for game, n_act in [("pong", 6), ("breakout", 4), ("space_invaders", 6)]:
+    for game, n_act in [("pong", 6), ("breakout", 4), ("space_invaders", 6),
+                        ("freeway", 3), ("qbert", 6)]:
         env = BatchedEnv(game, num_envs=2, seed=1)
         assert env.action_space == n_act
         f = env.reset_all()
@@ -80,6 +81,23 @@ def test_breakout_life_loss_training_vs_eval():
     assert 1 in train_kinds  # life-loss pseudo-terminals occur
     eval_kinds, _ = run(False)
     assert 1 not in eval_kinds  # eval never emits life-kind resets
+
+
+def test_qbert_life_mechanics():
+    """Qbert has real lives: training mode must emit life-loss (kind 1) and
+    full (kind 2) resets, and random play must score (25/cube)."""
+    env = BatchedEnv("qbert", num_envs=4, seed=5, training=True)
+    env.reset_all()
+    rng = np.random.default_rng(0)
+    total, life, full = 0.0, 0, 0
+    for _ in range(2000):
+        _, _, r, d, k = env.step(rng.integers(0, 6, 4))
+        total += r.sum()
+        life += int((k == 1).sum())
+        full += int((k == 2).sum())
+    env.close()
+    assert total > 0
+    assert life > 0 and full > 0
 
 
 def test_pong_has_no_life_terminals():
