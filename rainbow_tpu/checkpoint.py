@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import numpy as np

@@ -10,7 +10,7 @@ single-device (SURVEY.md §2 "Parallelism").
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

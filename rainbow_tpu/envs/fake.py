@@ -17,7 +17,6 @@ conv net can solve the task quickly in learning smoke tests.
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

@@ -53,19 +53,23 @@ def _head_kernel(feat_ref,
     ha = jnp.maximum(noisy_mm(x, ha_wmu, ha_wsg, ha_bmu, ha_bsg, 1,
                               flat, hidden), 0.0)
     v = noisy_mm(hv, zv_wmu, zv_wsg, zv_bmu, zv_bsg, 2, hidden, atoms)
-    a = noisy_mm(ha, za_wmu, za_wsg, za_bmu, za_bsg, 3, hidden,
-                 action_space * atoms)
-    B = v.shape[0]
-    a = a.reshape(B, action_space, atoms)
-    q = v[:, None, :] + a - jnp.mean(a, axis=1, keepdims=True)
-    # stable (log-)softmax over atoms
-    m = jnp.max(q, axis=-1, keepdims=True)
-    e = jnp.exp(q - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    if log:
-        out_ref[:] = (q - m) - jnp.log(s)
-    else:
-        out_ref[:] = e / s
+    adv = noisy_mm(ha, za_wmu, za_wsg, za_bmu, za_bsg, 3, hidden,
+                   action_space * atoms)
+    # Dueling combine + per-action (log-)softmax, all in 2D: Mosaic cannot
+    # lane-split (B, A*atoms) -> (B, A, atoms), so the action axis is a
+    # static Python loop over 51-wide blocks; the (B, A, atoms) reshape
+    # happens outside the kernel in XLA.
+    mean_a = jnp.zeros_like(v)
+    for a in range(action_space):
+        mean_a = mean_a + adv[:, a * atoms:(a + 1) * atoms]
+    mean_a = mean_a * (1.0 / action_space)
+    for a in range(action_space):
+        q = v + adv[:, a * atoms:(a + 1) * atoms] - mean_a  # (B, atoms)
+        m = jnp.max(q, axis=-1, keepdims=True)
+        e = jnp.exp(q - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        block = ((q - m) - jnp.log(s)) if log else (e / s)
+        out_ref[:, a * atoms:(a + 1) * atoms] = block
 
 
 def scale_noise(key: jax.Array, n: int) -> jax.Array:
@@ -119,10 +123,12 @@ def fused_dueling_head(feat: jax.Array, head_params: dict,
         _head_kernel, atoms=atoms, action_space=action_space, hidden=hidden,
         flat=flat, log=log, noisy=noisy)
     vmem = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
-    return pl.pallas_call(
+    out2d = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, action_space, atoms), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, action_space * atoms),
+                                       jnp.float32),
         in_specs=[vmem] * 18,
         out_specs=vmem,
         interpret=interpret,
     )(feat, *weights, eps)
+    return out2d.reshape(B, action_space, atoms)

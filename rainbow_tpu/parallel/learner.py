@@ -21,8 +21,6 @@ sharded-PER tradeoff, made deliberately.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -97,10 +95,6 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
         timesteps=P(axis_name), nonterminal=P(axis_name),
         priorities=P(axis_name), index=P(), full=P(), t=P(axis_name),
         max_priority=P())
-    agent_spec = jax.tree.map(lambda _: P(), ag.AgentState(
-        params=None, target_params=None, opt_state=None, noise_key=None,
-        rng=None, step=None), is_leaf=lambda x: x is None)
-
     mapped = jax.shard_map(
         local_round, mesh=mesh,
         in_specs=(P(), rep_spec, P(), P()),

@@ -13,7 +13,6 @@ JAX_PROCESS_INDEX/COUNT-style env configuration and a shared results dir.
 """
 from __future__ import annotations
 
-import argparse
 import json
 import os
 from typing import List
