@@ -344,6 +344,11 @@ void renv_reset_all(void* h, uint8_t* frames) {
 
 int renv_ale_available() { return rainbow::ale_backend_available(); }
 
+// Test hook: the engine's bilinear 210x160 -> 84x84 resize.
+void renv_resize(const uint8_t* src, uint8_t* dst) {
+  rainbow::resize_bilinear(src, dst);
+}
+
 void renv_step(void* h, const int32_t* actions, uint8_t* obs,
                uint8_t* reset_frames, float* rewards, uint8_t* dones,
                uint8_t* reset_kinds) {

@@ -36,11 +36,25 @@ def _load_lib() -> ctypes.CDLL:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.renv_reset_all.argtypes = [ctypes.c_void_p, u8p]
+    lib.renv_resize.argtypes = [u8p, u8p]
     lib.renv_step.argtypes = [ctypes.c_void_p, i32p, u8p, u8p, f32p, u8p, u8p]
     return lib
 
 
 _lib = None
+
+
+def resize_bilinear(frame: np.ndarray) -> np.ndarray:
+    """The engine's 210x160 -> 84x84 bilinear resize (test/verification hook
+    for parity with reference env.py:28 cv2.INTER_LINEAR)."""
+    global _lib
+    if _lib is None:
+        _lib = _load_lib()
+    src = np.ascontiguousarray(frame, np.uint8)
+    assert src.shape == (210, 160)
+    out = np.empty((FRAME, FRAME), np.uint8)
+    _lib.renv_resize(src, out)
+    return out
 
 
 class BatchedEnv:

@@ -13,11 +13,9 @@ Design (SURVEY.md §5 'Distributed communication backend'):
     sampling streams are distinct but deterministic.
   * priority write-back stays shard-local.
 
-IS-weight note: weights are normalised by the *local* shard-batch max
-(reference memory.py:153 normalises by its single batch max); with
-stratified sampling per shard the difference is a bounded per-shard scale
-that vanishes as shards see similar priority distributions — the standard
-sharded-PER tradeoff, made deliberately.
+IS weights are renormalised by the GLOBAL combined-batch max (a pmax over
+the mesh), exactly matching the reference's single-batch normalisation
+(memory.py:153) regardless of shard count.
 """
 from __future__ import annotations
 
@@ -73,6 +71,12 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
                               history=cfg.history_length,
                               n_step=cfg.multi_step,
                               discount=cfg.discount)
+            # Renormalise IS weights by the GLOBAL batch max — exact parity
+            # with the reference's single-batch normalisation (memory.py:153)
+            # across shards.
+            global_max = jax.lax.pmax(batch["weights_max"], axis_name)
+            batch = dict(batch, weights=batch["weights"]
+                         * batch["weights_max"] / global_max)
             grads, losses, rng = ag.compute_update(agent, cfg, action_space,
                                                    batch)
             grads = jax.lax.pmean(grads, axis_name)  # ICI gradient reduction

@@ -213,12 +213,17 @@ def sample(state: ReplayState, key: jax.Array, beta: jax.Array,
     # reference's rejection loop at memory.py:128-132 would spin forever)
     # degrades to all-zero weights instead of NaN.
     weights = jnp.where((p > 0) & (total > 0), weights, 0.0)
-    weights = weights / jnp.maximum(jnp.max(weights), 1e-12)
+    weights_max = jnp.maximum(jnp.max(weights), 1e-12)
+    weights = weights / weights_max
 
     return {
         "idxs": idx, "states": states, "actions": actions,
         "returns": returns, "next_states": next_states,
         "nonterminals": nonterminals, "weights": weights,
+        # Pre-normalisation max, so a sharded learner can renormalise by the
+        # GLOBAL batch max (pmax) for exact parity with the reference's
+        # single-batch normalisation (memory.py:153).
+        "weights_max": weights_max,
     }
 
 

@@ -128,16 +128,18 @@ def test_max_episode_length_forces_reset():
 
 
 def test_resize_matches_cv2_bilinear():
-    """Engine frames must match cv2.INTER_LINEAR resize of the raw screen
-    (reference env.py:28) to within fixed-point rounding."""
+    """The engine's bilinear 210x160->84x84 resize must match
+    cv2.INTER_LINEAR (reference env.py:28) to within cv2's fixed-point
+    rounding (±1 grey level)."""
     cv2 = pytest.importorskip("cv2")
-    # Reconstruct a raw screen by stepping a 1-env engine... the engine does
-    # not expose raw frames, so instead check the static property: a
-    # constant-value screen resizes to the same constant.
-    env = BatchedEnv("pong", num_envs=1, seed=0)
-    f = env.reset_all()[0]
-    # Spot-check: engine output is a plausible bilinear downsample — value
-    # range preserved and walls (rows of 150s) present in resized rows.
-    assert f.min() >= 0 and f.max() <= 255
-    assert (f > 0).sum() > 100
-    env.close()
+    from rainbow_tpu.envs.engine import resize_bilinear
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        img = rng.integers(0, 256, (210, 160), np.uint8)
+        ours = resize_bilinear(img).astype(int)
+        want = cv2.resize(img, (84, 84),
+                          interpolation=cv2.INTER_LINEAR).astype(int)
+        assert np.abs(ours - want).max() <= 1
+    # constant image resizes to the same constant exactly
+    const = np.full((210, 160), 137, np.uint8)
+    np.testing.assert_array_equal(resize_bilinear(const), 137)

@@ -1,0 +1,60 @@
+"""Evaluation-protocol unit tests against the scripted fake env."""
+import jax
+import numpy as np
+
+import rainbow_tpu
+from rainbow_tpu import agent as ag
+from rainbow_tpu import evaluate as ev
+from rainbow_tpu.envs.fake import FakeAtariEnv
+
+
+def make_env(num_envs, training=True, seed_offset=0):
+    return FakeAtariEnv(num_envs, seed=7 + seed_offset, episode_len=20,
+                        training=training)
+
+
+def test_build_validation_states_shape_and_range():
+    cfg = rainbow_tpu.data_efficient(evaluation_size=25, hidden_size=32)
+    states = ev.build_validation_states(cfg, lambda num_envs, training:
+                                        make_env(num_envs, training))
+    assert states.shape == (25, 84, 84, cfg.history_length)
+    assert float(states.min()) >= 0.0 and float(states.max()) <= 1.0
+    assert float(states.max()) > 0.0  # frames actually captured
+
+
+def test_run_episodes_returns_one_reward_per_episode():
+    cfg = rainbow_tpu.data_efficient(hidden_size=32, max_episode_length=200)
+    agent = ag.init_agent(jax.random.key(0), cfg, 4)
+    rewards = ev.run_episodes(cfg, agent.params, 4,
+                              lambda num_envs, training:
+                              make_env(num_envs, training),
+                              jax.random.key(1), num_episodes=3)
+    assert len(rewards) == 3
+    # fake env: reward ∈ [0, episode_len]; episodes are 20 steps
+    assert all(0.0 <= r <= 20.0 for r in rewards)
+
+
+def test_validation_q_matches_agent_probe():
+    cfg = rainbow_tpu.data_efficient(hidden_size=32, evaluation_size=10)
+    agent = ag.init_agent(jax.random.key(2), cfg, 4)
+    states = ev.build_validation_states(cfg, lambda num_envs, training:
+                                        make_env(num_envs, training))
+    qs = ev.validation_q(cfg, agent.params, 4, states, chunk=4)
+    want = np.asarray(ag.evaluate_q(agent.params, cfg, 4, states))
+    np.testing.assert_allclose(np.asarray(qs), want, rtol=1e-5)
+
+
+def test_evaluate_end_to_end():
+    cfg = rainbow_tpu.data_efficient(hidden_size=32, evaluation_episodes=2,
+                                     evaluation_size=8,
+                                     max_episode_length=200)
+    agent = ag.init_agent(jax.random.key(3), cfg, 4)
+    states = ev.build_validation_states(cfg, lambda num_envs, training:
+                                        make_env(num_envs, training))
+    avg_r, avg_q, rewards, qs = ev.evaluate(
+        cfg, agent.params, 4,
+        lambda num_envs, training: make_env(num_envs, training),
+        states, jax.random.key(4))
+    assert len(rewards) == 2 and len(qs) == 8
+    assert avg_r == sum(rewards) / 2
+    assert abs(avg_q - sum(qs) / 8) < 1e-6

@@ -80,6 +80,7 @@ def test_distributed_grads_equal_mean_of_local_grads(setup):
     local_batch = cfg.batch_size // N_DEV
     E_local = cfg.num_envs // N_DEV
     grads_sum = None
+    batches = []
     rep_host = jax.tree.map(np.asarray, rep)
     for d in range(N_DEV):
         shard = rp.ReplayState(
@@ -96,6 +97,11 @@ def test_distributed_grads_equal_mean_of_local_grads(setup):
         batch = rp.sample(shard, k_local, jnp.float32(0.5),
                           batch_size=local_batch, history=cfg.history_length,
                           n_step=cfg.multi_step, discount=cfg.discount)
+        batches.append(batch)
+    global_max = max(float(b["weights_max"]) for b in batches)
+    for batch in batches:
+        batch = dict(batch, weights=batch["weights"]
+                     * batch["weights_max"] / global_max)
         g, _, _ = ag.compute_update(agent, cfg, A, batch)
         grads_sum = g if grads_sum is None else jax.tree.map(
             jnp.add, grads_sum, g)
