@@ -201,9 +201,12 @@ def main():
     num_envs = int(os.environ.get("BENCH_ENVS", 128))
     iters = int(os.environ.get("BENCH_ITERS", 60))
     game = os.environ.get("BENCH_GAME", "pong")
-    cfg = rainbow_tpu.canonical(num_envs=num_envs,
-                                memory_capacity=num_envs * 1024,
-                                batch_size=32)
+    cfg = rainbow_tpu.canonical(
+        num_envs=num_envs,
+        # canonical 1M total capacity, capped so extreme env counts (the
+        # 4096-env stress config) keep the replay within one chip's HBM
+        memory_capacity=min(num_envs * 1024, 1_000_000),
+        batch_size=32)
     info(f"devices: {jax.devices()}")
 
     # Learner first, on its own fresh state (a multi-GB actor replay left
