@@ -41,7 +41,8 @@ def info(msg):
 
 
 def game_action_space(game):
-    return {"pong": 6, "breakout": 4, "space_invaders": 6, "freeway": 3}[game]
+    return {"pong": 6, "breakout": 4, "space_invaders": 6, "freeway": 3,
+            "qbert": 6}[game]
 
 
 def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1):
@@ -97,7 +98,8 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1):
     # Precompile the likely reset-bucket specialisations so a first-seen
     # bucket doesn't pay a full (remote) compile mid-measurement.
     from rainbow_tpu.train import _RESET_BUCKETS
-    for b in _RESET_BUCKETS:
+    for b in _RESET_BUCKETS[:4]:  # small buckets cover normal reset rates;
+        # each precompiled bucket costs a full program compile
         if 0 < b <= num_envs:
             kinds = np.zeros(num_envs, np.uint8)
             kinds[:max(b // 2, 1)] = 2
@@ -211,17 +213,22 @@ def main():
 
     # Learner first, on its own fresh state (a multi-GB actor replay left
     # resident alongside skews the measurement badly).
-    agent, rep = make_learner_state(cfg, game_action_space(game), num_envs)
-    updates_ps, last_loss = bench_learner(cfg, agent, rep,
-                                          game_action_space(game))
-    info(f"learner: {updates_ps:.1f} updates/s (batch {cfg.batch_size}), "
-         f"loss={last_loss:.3f}")
-    del agent, rep
+    if not os.environ.get("BENCH_SKIP_LEARNER"):
+        agent, rep = make_learner_state(cfg, game_action_space(game),
+                                        num_envs)
+        updates_ps, last_loss = bench_learner(cfg, agent, rep,
+                                              game_action_space(game))
+        info(f"learner: {updates_ps:.1f} updates/s (batch {cfg.batch_size}),"
+             f" loss={last_loss:.3f}")
+        del agent, rep
 
-    batched_sps, state = bench_batched(cfg, game, num_envs, iters)
-    info(f"batched actor (serial): {batched_sps:.0f} env-steps/s "
-         f"@ {num_envs} envs")
-    del state  # free the multi-GB replay before the next allocation
+    if os.environ.get("BENCH_SKIP_SERIAL"):
+        batched_sps = 0.0
+    else:
+        batched_sps, state = bench_batched(cfg, game, num_envs, iters)
+        info(f"batched actor (serial): {batched_sps:.0f} env-steps/s "
+             f"@ {num_envs} envs")
+        del state  # free the multi-GB replay before the next allocation
     depth = int(os.environ.get("BENCH_DEPTH", 2))
     piped_sps, state = bench_batched(cfg, game, num_envs, iters,
                                      pipeline=True, depth=depth)
