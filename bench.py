@@ -45,12 +45,14 @@ def game_action_space(game):
             "qbert": 6}[game]
 
 
-def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1):
+def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1,
+                  delta=False):
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    from rainbow_tpu.train import (actor_step_packed, pack_resets,
-                                    update_step_packed)
+    from rainbow_tpu.train import (actor_step_delta, actor_step_packed,
+                                    pack_delta, pack_resets,
+                                    update_step_delta, update_step_packed)
 
     env = BatchedEnv(game, num_envs, seed=1)
     A = env.action_space
@@ -63,38 +65,58 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1):
     acts_np = np.asarray(actions)
     pool = ThreadPoolExecutor(1) if pipeline else None
     queue = deque([actions] * max(depth, 1))
+    num_cells = num_envs * cfg.frame_size * cfg.frame_size
+    # Pin one delta-bucket specialisation: observe typical delta sizes during
+    # warmup and floor the bucket at 2x the largest seen, so measurement
+    # iterations hit a single precompiled program.
+    delta_floor = [0]
+
+    def delta_args(a_np):
+        didx, dval, resets, rewards, dones, kinds = env.step_delta(a_np)
+        packed, ridx = pack_resets(resets, kinds)
+        pidx, pval = pack_delta(didx, dval, num_cells,
+                                min_bucket=delta_floor[0])
+        delta_floor[0] = max(delta_floor[0], min(2 * didx.shape[0],
+                                                 num_cells // 5))
+        return ((jnp.asarray(pidx), jnp.asarray(pval), jnp.asarray(packed),
+                 jnp.asarray(ridx), jnp.asarray(rewards),
+                 jnp.asarray(dones.astype(bool)), jnp.asarray(kinds)))
+
+    def dense_args(a_np):
+        obs, resets, rewards, dones, kinds = env.step(a_np)
+        packed, ridx = pack_resets(resets, kinds)
+        return ((jnp.asarray(obs), jnp.asarray(packed), jnp.asarray(ridx),
+                 jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+                 jnp.asarray(kinds)))
+
+    step_args = delta_args if delta else dense_args
+    actor_fn = actor_step_delta if delta else actor_step_packed
+    update_fn = update_step_delta if delta else update_step_packed
 
     def serial_iter(stack, rep):
         nonlocal actions, acts_np
-        obs, resets, rewards, dones, kinds = env.step(acts_np)
-        packed, ridx = pack_resets(resets, kinds)
-        actions, stack, rep = actor_step_packed(
+        tail = step_args(acts_np)
+        actions, stack, rep = actor_fn(
             agent.params, agent.noise_key, cfg, A, stack, rep, actions,
-            jnp.asarray(obs), jnp.asarray(packed), jnp.asarray(ridx),
-            jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
-            jnp.asarray(kinds))
+            *tail)
         acts_np = np.asarray(actions)
         return stack, rep
 
     def pipelined_iter(stack, rep):
         a_exec = queue.popleft()
         a_np = np.asarray(a_exec)
-        fut = pool.submit(env.step, a_np)
+        fut = pool.submit(step_args, a_np)
         a_new = ag.act(agent.params, cfg, A, to_network_input(stack),
                        agent.noise_key)
         a_new.copy_to_host_async()
         queue.append(a_new)
-        obs, resets, rewards, dones, kinds = fut.result()
-        packed, ridx = pack_resets(resets, kinds)
-        stack, rep = update_step_packed(
-            cfg, A, stack, rep, a_exec, jnp.asarray(obs),
-            jnp.asarray(packed), jnp.asarray(ridx), jnp.asarray(rewards),
-            jnp.asarray(dones.astype(bool)), jnp.asarray(kinds))
+        tail = fut.result()
+        stack, rep = update_fn(cfg, A, stack, rep, a_exec, *tail)
         return stack, rep
 
     one_iter = pipelined_iter if pipeline else serial_iter
-    for _ in range(3):  # warmup (compile)
-        stack, rep = one_iter(stack, rep)
+    for _ in range(6 if delta else 3):  # warmup (compile; delta mode also
+        stack, rep = one_iter(stack, rep)  # settles the pinned delta bucket)
     # Precompile the likely reset-bucket specialisations so a first-seen
     # bucket doesn't pay a full (remote) compile mid-measurement.
     from rainbow_tpu.train import _RESET_BUCKETS
@@ -105,22 +127,23 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1):
             kinds[:max(b // 2, 1)] = 2
             resets = np.zeros((num_envs, 84, 84), np.uint8)
             packed, ridx = pack_resets(resets, kinds)
-            fn = update_step_packed if pipeline else None
-            if pipeline:
-                stack, rep = update_step_packed(
-                    cfg, A, stack, rep, jnp.zeros(num_envs, jnp.int32),
-                    jnp.zeros((num_envs, 84, 84), jnp.uint8),
-                    jnp.asarray(packed), jnp.asarray(ridx),
-                    jnp.zeros(num_envs), jnp.zeros(num_envs, bool),
-                    jnp.asarray(kinds))
+            if delta:
+                pidx, pval = pack_delta(
+                    np.zeros((0,), np.int32), np.zeros((0,), np.uint8),
+                    num_cells, min_bucket=delta_floor[0])
+                obs_form = (jnp.asarray(pidx), jnp.asarray(pval))
             else:
-                actions_, stack, rep = actor_step_packed(
-                    agent.params, agent.noise_key, cfg, A, stack, rep,
-                    jnp.zeros(num_envs, jnp.int32),
-                    jnp.zeros((num_envs, 84, 84), jnp.uint8),
-                    jnp.asarray(packed), jnp.asarray(ridx),
+                obs_form = (jnp.zeros((num_envs, 84, 84), jnp.uint8),)
+            tail = (*obs_form, jnp.asarray(packed), jnp.asarray(ridx),
                     jnp.zeros(num_envs), jnp.zeros(num_envs, bool),
                     jnp.asarray(kinds))
+            if pipeline:
+                stack, rep = update_fn(cfg, A, stack, rep,
+                                       jnp.zeros(num_envs, jnp.int32), *tail)
+            else:
+                actions_, stack, rep = actor_fn(
+                    agent.params, agent.noise_key, cfg, A, stack, rep,
+                    jnp.zeros(num_envs, jnp.int32), *tail)
     jax.block_until_ready(stack)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -209,6 +232,13 @@ def main():
         # 4096-env stress config) keep the replay within one chip's HBM
         memory_capacity=min(num_envs * 1024, 1_000_000),
         batch_size=32)
+    try:  # persistent compile cache: repeated bench runs skip recompiles
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     info(f"devices: {jax.devices()}")
 
     # Learner first, on its own fresh state (a multi-GB actor replay left
@@ -236,6 +266,14 @@ def main():
          f"env-steps/s @ {num_envs} envs")
     batched_sps = max(batched_sps, piped_sps)
     del state
+    if not os.environ.get("BENCH_SKIP_DELTA"):
+        delta_sps, state = bench_batched(cfg, game, num_envs, iters,
+                                         pipeline=True, depth=depth,
+                                         delta=True)
+        info(f"batched actor (pipelined + sparse-delta uploads): "
+             f"{delta_sps:.0f} env-steps/s @ {num_envs} envs")
+        batched_sps = max(batched_sps, delta_sps)
+        del state
 
     single_cfg = cfg.replace(num_envs=1)
     single_sps = bench_single_env_reference_style(

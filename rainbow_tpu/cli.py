@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--env-backend", default=None, choices=["native", "fake"])
     p.add_argument("--pipeline-actor", action="store_true", default=None)
+    p.add_argument("--delta-uploads", action="store_true", default=None,
+                   help="send observations as sparse pixel deltas "
+                        "(lossless; cuts host->device payload)")
     p.add_argument("--pipeline-depth", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true", default=None)
     p.add_argument("--use-pallas-head", action="store_true", default=None)

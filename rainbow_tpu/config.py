@@ -78,6 +78,12 @@ class RainbowConfig:
     # (hides fetch RTT; essential on high-latency links). D=1 is the classic
     # 1-step lag; larger D trades policy freshness for throughput, like
     # distributed actor systems (Ape-X/IMPALA-style staleness).
+    delta_uploads: bool = False        # send observations as sparse pixel
+    # deltas against the device's frame-stack newest slot (engine.step_delta):
+    # the device reconstructs obs with one sorted-unique scatter. Cuts the
+    # per-step host→device payload to the changed pixels — the actor wall on
+    # bandwidth-limited host links. Lossless; native backend only. Steps whose
+    # delta exceeds ~1/5 dense size fall back to the dense upload.
     data_parallel: bool = False        # shard envs/replay over all local
     # devices ('data' mesh): replicated agent, per-device replay shards,
     # psum-mean gradients (parallel/learner.py). Requires num_envs and

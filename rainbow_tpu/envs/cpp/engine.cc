@@ -37,6 +37,7 @@ namespace {
 
 constexpr int kOutH = 84;
 constexpr int kOutW = 84;
+constexpr int kFrame2 = kOutH * kOutW;
 
 // Precomputed bilinear taps for 210x160 -> 84x84 with half-pixel centres
 // (cv2.INTER_LINEAR convention: src = (dst + 0.5) * scale - 0.5).
@@ -94,6 +95,7 @@ class Engine {
     envs_.resize(n_envs);
     raw_a_.resize((size_t)n_envs * kScreenH * kScreenW);
     raw_b_.resize((size_t)n_envs * kScreenH * kScreenW);
+    mirror_.resize((size_t)n_envs * kFrame2);
     frame_counts_.assign(n_envs, 0);
     frame_cap_hit_.assign(n_envs, false);
     for (int e = 0; e < n_envs; ++e) {
@@ -119,17 +121,77 @@ class Engine {
   void reset_all(uint8_t* frames) {
     parallel_for([&](int e) {
       full_reset(e);
-      grab(e, frames + (size_t)e * kOutH * kOutW);
+      uint8_t* out = frames + (size_t)e * kFrame2;
+      grab(e, out);
+      std::memcpy(mirror_.data() + (size_t)e * kFrame2, out, kFrame2);
     });
   }
 
   void step(const int32_t* actions, uint8_t* obs_out, uint8_t* reset_out,
             float* rewards, uint8_t* dones, uint8_t* reset_kinds) {
     parallel_for([&](int e) {
-      step_one(e, actions[e], obs_out + (size_t)e * kOutH * kOutW,
-               reset_out + (size_t)e * kOutH * kOutW, rewards + e, dones + e,
+      step_one(e, actions[e], obs_out + (size_t)e * kFrame2,
+               reset_out + (size_t)e * kFrame2, rewards + e, dones + e,
                reset_kinds + e);
     });
+  }
+
+  // step() variant returning the observations as a sparse delta against the
+  // device's frame-stack newest slot (which the engine mirrors): compacted,
+  // globally sorted flat indices into the (N*84*84) frame block plus the new
+  // pixel values. The device reconstructs obs with one sorted unique scatter
+  // — cutting the per-step host->device payload to the pixels that actually
+  // changed (typically 3-12% on Atari-like screens).
+  void step_delta(const int32_t* actions, int32_t* didx, uint8_t* dval,
+                  int64_t* total, uint8_t* reset_out, float* rewards,
+                  uint8_t* dones, uint8_t* reset_kinds) {
+    if (obs_scratch_.empty()) {
+      obs_scratch_.resize((size_t)n_envs_ * kFrame2);
+      didx16_.resize((size_t)n_envs_ * kFrame2);
+      dcounts_.assign(n_envs_, 0);
+      doffsets_.assign(n_envs_ + 1, 0);
+    }
+    // Phase 1: step + per-env diff vs the pre-step mirror.
+    parallel_for([&](int e) {
+      uint8_t* obs = obs_scratch_.data() + (size_t)e * kFrame2;
+      uint8_t* mir = mirror_.data() + (size_t)e * kFrame2;
+      uint16_t* di = didx16_.data() + (size_t)e * kFrame2;
+      // step_one updates the mirror, so diff against a pre-step copy is not
+      // needed: diff BEFORE the mirror update by calling the core step with
+      // mirror maintenance deferred (mirror_update=false), then diff, then
+      // update the mirror here.
+      step_one(e, actions[e], obs, reset_out + (size_t)e * kFrame2,
+               rewards + e, dones + e, reset_kinds + e,
+               /*update_mirror=*/false);
+      int c = 0;
+      for (int i = 0; i < kFrame2; ++i)
+        if (obs[i] != mir[i]) di[c++] = (uint16_t)i;
+      dcounts_[e] = c;
+      std::memcpy(mir, reset_kinds[e] > 0
+                           ? reset_out + (size_t)e * kFrame2 : obs, kFrame2);
+    });
+    // Phase 2: prefix-sum the counts (n_envs adds, negligible).
+    for (int e = 0; e < n_envs_; ++e)
+      doffsets_[e + 1] = doffsets_[e] + dcounts_[e];
+    // Phase 3: parallel compaction into the caller's flat buffers, per-env
+    // positions rebased to global flat indices (still globally sorted).
+    parallel_for([&](int e) {
+      const int64_t base = doffsets_[e];
+      const uint16_t* di = didx16_.data() + (size_t)e * kFrame2;
+      const uint8_t* obs = obs_scratch_.data() + (size_t)e * kFrame2;
+      const int32_t eoff = e * kFrame2;
+      for (int k = 0; k < dcounts_[e]; ++k) {
+        didx[base + k] = eoff + di[k];
+        dval[base + k] = obs[di[k]];
+      }
+    });
+    *total = doffsets_[n_envs_];
+  }
+
+  // Valid after step_delta: copy the staged dense observations out (used by
+  // the host to fall back to a dense upload when a delta is near-dense).
+  void copy_obs(uint8_t* out) const {
+    std::memcpy(out, obs_scratch_.data(), obs_scratch_.size());
   }
 
  private:
@@ -171,7 +233,8 @@ class Engine {
   }
 
   void step_one(int e, int action, uint8_t* obs, uint8_t* reset_frame,
-                float* reward, uint8_t* done, uint8_t* reset_kind) {
+                float* reward, uint8_t* done, uint8_t* reset_kind,
+                bool update_mirror = true) {
     EnvSlot& s = envs_[e];
     float r = 0.0f;
     bool d = false;
@@ -229,6 +292,12 @@ class Engine {
     *reward = r;
     *done = d ? 1 : 0;
     *reset_kind = kind;
+    // Keep the device-newest-slot mirror current so dense and delta step
+    // modes can be mixed freely (the newest frame-stack slot after the
+    // device-side update is the reset frame when kind > 0, else obs).
+    if (update_mirror)
+      std::memcpy(mirror_.data() + (size_t)e * kFrame2,
+                  kind > 0 ? reset_frame : obs, kFrame2);
   }
 
   // ---- persistent thread pool -------------------------------------------
@@ -299,6 +368,11 @@ class Engine {
   std::atomic<bool> training_{true};
   std::vector<EnvSlot> envs_;
   std::vector<uint8_t> raw_a_, raw_b_;
+  std::vector<uint8_t> mirror_;       // (E, 84*84) device newest-slot mirror
+  std::vector<uint8_t> obs_scratch_;  // (E, 84*84) delta-mode obs staging
+  std::vector<uint16_t> didx16_;      // (E, 84*84) per-env changed positions
+  std::vector<int> dcounts_;
+  std::vector<int64_t> doffsets_;
   std::vector<int> frame_counts_;
   std::vector<char> frame_cap_hit_;  // char: vector<bool> is not thread-safe
                                      // for concurrent per-env writes
@@ -354,6 +428,20 @@ void renv_step(void* h, const int32_t* actions, uint8_t* obs,
                uint8_t* reset_kinds) {
   static_cast<rainbow::Engine*>(h)->step(actions, obs, reset_frames, rewards,
                                          dones, reset_kinds);
+}
+
+// Sparse-delta step: didx/dval must each hold n_envs*84*84 entries (worst
+// case); *total receives the number of valid entries.
+void renv_step_delta(void* h, const int32_t* actions, int32_t* didx,
+                     uint8_t* dval, int64_t* total, uint8_t* reset_frames,
+                     float* rewards, uint8_t* dones, uint8_t* reset_kinds) {
+  static_cast<rainbow::Engine*>(h)->step_delta(actions, didx, dval, total,
+                                               reset_frames, rewards, dones,
+                                               reset_kinds);
+}
+
+void renv_copy_obs(void* h, uint8_t* out) {
+  static_cast<rainbow::Engine*>(h)->copy_obs(out);
 }
 
 }  // extern "C"

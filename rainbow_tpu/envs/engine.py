@@ -38,6 +38,10 @@ def _load_lib() -> ctypes.CDLL:
     lib.renv_reset_all.argtypes = [ctypes.c_void_p, u8p]
     lib.renv_resize.argtypes = [u8p, u8p]
     lib.renv_step.argtypes = [ctypes.c_void_p, i32p, u8p, u8p, f32p, u8p, u8p]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.renv_step_delta.argtypes = [ctypes.c_void_p, i32p, i32p, u8p, i64p,
+                                    u8p, f32p, u8p, u8p]
+    lib.renv_copy_obs.argtypes = [ctypes.c_void_p, u8p]
     return lib
 
 
@@ -92,6 +96,7 @@ class BatchedEnv:
         self._rewards = np.empty((num_envs,), np.float32)
         self._dones = np.empty((num_envs,), np.uint8)
         self._kinds = np.empty((num_envs,), np.uint8)
+        self._didx = None  # delta-mode buffers, allocated on first use
 
     def set_training(self, training: bool) -> None:
         """Life-loss terminals on/off (reference env.py:80-85)."""
@@ -110,6 +115,34 @@ class BatchedEnv:
                             self._rewards, self._dones, self._kinds)
         return (self._obs, self._reset_frames, self._rewards, self._dones,
                 self._kinds)
+
+    def step_delta(self, actions: np.ndarray):
+        """step() with the observations encoded as a sparse delta against the
+        previous device-newest frame (the engine mirrors the device's
+        frame-stack newest slot): returns (delta_idx, delta_val,
+        reset_frames, rewards, dones, reset_kinds) where delta_idx int32 is
+        sorted unique flat indices into the (N*84*84) frame block and
+        delta_val uint8 the new pixel values. obs[i] = prev_newest[i] except
+        at delta_idx. Cuts the host->device payload to the changed pixels."""
+        actions = np.ascontiguousarray(actions, np.int32)
+        assert actions.shape == (self.num_envs,)
+        if self._didx is None:
+            n = self.num_envs * FRAME * FRAME
+            self._didx = np.empty((n,), np.int32)
+            self._dval = np.empty((n,), np.uint8)
+            self._dtotal = np.zeros((1,), np.int64)
+        self._lib.renv_step_delta(self._h, actions, self._didx, self._dval,
+                                  self._dtotal, self._reset_frames,
+                                  self._rewards, self._dones, self._kinds)
+        t = int(self._dtotal[0])
+        return (self._didx[:t], self._dval[:t], self._reset_frames,
+                self._rewards, self._dones, self._kinds)
+
+    def last_obs(self) -> np.ndarray:
+        """Dense observations of the last step_delta call (fallback path for
+        near-dense deltas). Writes into the reusable obs buffer."""
+        self._lib.renv_copy_obs(self._h, self._obs)
+        return self._obs
 
     def close(self) -> None:
         if getattr(self, "_h", None):

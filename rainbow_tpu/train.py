@@ -60,18 +60,27 @@ def make_env_factory(cfg: RainbowConfig) -> Callable:
     return factory
 
 
+def _update_core(cfg: RainbowConfig, stack, rep: rp.ReplayState,
+                 prev_actions, obs, reset_frames, rewards, dones, kinds):
+    """Shared trace body: append the just-completed transition (pre-step
+    newest frame + action + clipped reward + done, reference main.py:155-157)
+    and advance the frame stack."""
+    if cfg.reward_clip > 0:
+        rewards = jnp.clip(rewards, -cfg.reward_clip, cfg.reward_clip)
+    rep = rp.append(rep, stack[..., -1], prev_actions, rewards, dones)
+    stack = update_framestack(stack, obs, reset_frames, kinds)
+    return stack, rep
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
                    donate_argnames=("stack", "rep"))
 def actor_step(params, noise_key, cfg: RainbowConfig, action_space: int,
                stack, rep: rp.ReplayState, prev_actions, obs, reset_frames,
                rewards, dones, kinds):
-    """Fused per-iteration device program: append the just-completed
-    transition (pre-step newest frame + action + clipped reward + done,
-    reference main.py:155-157), advance the frame stack, pick next actions."""
-    if cfg.reward_clip > 0:
-        rewards = jnp.clip(rewards, -cfg.reward_clip, cfg.reward_clip)
-    rep = rp.append(rep, stack[..., -1], prev_actions, rewards, dones)
-    stack = update_framestack(stack, obs, reset_frames, kinds)
+    """Fused per-iteration device program: transition append + frame-stack
+    advance + next-action selection."""
+    stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
+                              reset_frames, rewards, dones, kinds)
     actions = ag.act(params, cfg, action_space, to_network_input(stack),
                      noise_key)
     return actions, stack, rep
@@ -85,11 +94,8 @@ def update_step(cfg: RainbowConfig, action_space: int, stack,
     """Pipelined-mode device program: replay append + frame-stack advance
     WITHOUT action selection (actions were already computed from the
     previous state, overlapping the engine step)."""
-    if cfg.reward_clip > 0:
-        rewards = jnp.clip(rewards, -cfg.reward_clip, cfg.reward_clip)
-    rep = rp.append(rep, stack[..., -1], prev_actions, rewards, dones)
-    stack = update_framestack(stack, obs, reset_frames, kinds)
-    return stack, rep
+    return _update_core(cfg, stack, rep, prev_actions, obs, reset_frames,
+                        rewards, dones, kinds)
 
 
 _RESET_BUCKETS = (0, 8, 32, 128, 512, 2048, 8192)
@@ -142,6 +148,75 @@ def update_step_packed(cfg: RainbowConfig, action_space: int, stack,
         reset_packed, mode="drop")
     return update_step(cfg, action_space, stack, rep, prev_actions, obs,
                        reset_frames, rewards, dones, kinds)
+
+
+_DELTA_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1 << 20, 1 << 22)
+
+
+def pack_delta(didx: np.ndarray, dval: np.ndarray, num_cells: int,
+               min_bucket: int = 0):
+    """Pad a sparse frame delta (engine.step_delta) to the smallest static
+    bucket so jit specialisations stay bounded. Pads with index ``num_cells``
+    (one past the end — dropped by the device scatter) so the index stream
+    stays sorted and unique. ``min_bucket`` pins a floor (callers that want
+    one stable specialisation pass their observed typical size)."""
+    k = max(didx.shape[0], min_bucket)
+    for b in _DELTA_BUCKETS:
+        if b >= k:
+            kp = b
+            break
+    else:
+        kp = k
+    k = didx.shape[0]
+    out_idx = np.full((kp,), num_cells, np.int32)
+    out_idx[:k] = didx
+    out_val = np.zeros((kp,), np.uint8)
+    out_val[:k] = dval
+    return out_idx, out_val
+
+
+def _apply_delta(stack, delta_idx, delta_val):
+    """Reconstruct the step observations from the sparse delta against the
+    frame stack's newest slot: one sorted-unique scatter over the flat
+    (N*84*84) uint8 block."""
+    n, f = stack.shape[0], stack.shape[1]
+    prev = stack[..., -1].reshape(-1)
+    obs = prev.at[delta_idx].set(delta_val, mode="drop",
+                                 indices_are_sorted=True,
+                                 unique_indices=True)
+    return obs.reshape(n, f, f)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
+                   donate_argnames=("stack", "rep"))
+def actor_step_delta(params, noise_key, cfg: RainbowConfig,
+                     action_space: int, stack, rep: rp.ReplayState,
+                     prev_actions, delta_idx, delta_val, reset_packed,
+                     reset_idx, rewards, dones, kinds):
+    """actor_step with sparse-delta observations (see engine.step_delta) and
+    packed reset frames."""
+    obs = _apply_delta(stack, delta_idx, delta_val)
+    reset_frames = jnp.zeros_like(obs).at[reset_idx].set(
+        reset_packed, mode="drop")
+    stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
+                              reset_frames, rewards, dones, kinds)
+    actions = ag.act(params, cfg, action_space, to_network_input(stack),
+                     noise_key)
+    return actions, stack, rep
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
+                   donate_argnames=("stack", "rep"))
+def update_step_delta(cfg: RainbowConfig, action_space: int, stack,
+                      rep: rp.ReplayState, prev_actions, delta_idx,
+                      delta_val, reset_packed, reset_idx, rewards, dones,
+                      kinds):
+    """update_step with sparse-delta observations (pipelined mode)."""
+    obs = _apply_delta(stack, delta_idx, delta_val)
+    reset_frames = jnp.zeros_like(obs).at[reset_idx].set(
+        reset_packed, mode="drop")
+    return _update_core(cfg, stack, rep, prev_actions, obs, reset_frames,
+                        rewards, dones, kinds)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space",
@@ -310,6 +385,36 @@ class Trainer:
         actions = ag.act(self.agent.params, cfg, self.action_space,
                          to_network_input(stack), self.agent.noise_key)
         acts_np = np.asarray(actions)
+        use_delta = cfg.delta_uploads and hasattr(self.env, "step_delta")
+        num_cells = cfg.num_envs * cfg.frame_size * cfg.frame_size
+        env_step = self.env.step_delta if use_delta else self.env.step
+
+        def device_update(step_out, a_exec, stack, rep, act_args=None):
+            """Dispatch the fused per-step device program for one engine
+            step, choosing among dense / sparse-delta observation forms.
+            With act_args=(params, noise_key) the fused program also selects
+            the next actions and (actions, stack, rep) is returned."""
+            if use_delta:
+                didx, dval, resets, rewards, dones, kinds = step_out
+                if didx.shape[0] * 5 > num_cells:  # near-dense: delta loses
+                    obs_form = (jnp.asarray(self.env.last_obs()),)
+                    fns = (actor_step_packed, update_step_packed)
+                else:
+                    pidx, pval = pack_delta(didx, dval, num_cells)
+                    obs_form = (jnp.asarray(pidx), jnp.asarray(pval))
+                    fns = (actor_step_delta, update_step_delta)
+            else:
+                obs, resets, rewards, dones, kinds = step_out
+                obs_form = (jnp.asarray(obs),)
+                fns = (actor_step_packed, update_step_packed)
+            packed, ridx = pack_resets(resets, kinds)
+            tail = (*obs_form, jnp.asarray(packed), jnp.asarray(ridx),
+                    jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+                    jnp.asarray(kinds))
+            if act_args is not None:
+                return fns[0](act_args[0], act_args[1], cfg,
+                              self.action_space, stack, rep, a_exec, *tail)
+            return fns[1](cfg, self.action_space, stack, rep, a_exec, *tail)
         pool = ThreadPoolExecutor(1) if cfg.pipeline_actor else None
         # Depth-D pipeline: seed the queue with D copies of the first action
         # set (a brief startup transient; lag settles to D steps).
@@ -357,36 +462,26 @@ class Trainer:
                 acts_np = np.asarray(a_exec)
                 self.timer.stop("fetch")
                 self.timer.start("env")
-                fut = pool.submit(self.env.step, acts_np)
+                fut = pool.submit(env_step, acts_np)
                 a_new = ag.act(self.agent.params, cfg, self.action_space,
                                to_network_input(stack),
                                self.agent.noise_key)
                 a_new.copy_to_host_async()
                 action_queue.append(a_new)
-                obs, resets, rewards, dones, kinds = fut.result()
+                step_out = fut.result()
                 self.timer.stop("env")
                 self.timer.start("actor")
-                packed, ridx = pack_resets(resets, kinds)
-                stack, self.rep = update_step_packed(
-                    cfg, self.action_space, stack, self.rep, a_exec,
-                    jnp.asarray(obs), jnp.asarray(packed),
-                    jnp.asarray(ridx),
-                    jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
-                    jnp.asarray(kinds))
+                stack, self.rep = device_update(step_out, a_exec, stack,
+                                                self.rep)
                 self.timer.stop("actor")
             else:
                 self.timer.start("env")
-                obs, resets, rewards, dones, kinds = self.env.step(acts_np)
+                step_out = env_step(acts_np)
                 self.timer.stop("env")
                 self.timer.start("actor")
-                packed, ridx = pack_resets(resets, kinds)
-                actions, stack, self.rep = actor_step_packed(
-                    self.agent.params, self.agent.noise_key, cfg,
-                    self.action_space, stack, self.rep, actions,
-                    jnp.asarray(obs), jnp.asarray(packed),
-                    jnp.asarray(ridx),
-                    jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
-                    jnp.asarray(kinds))
+                actions, stack, self.rep = device_update(
+                    step_out, actions, stack, self.rep,
+                    act_args=(self.agent.params, self.agent.noise_key))
                 acts_np = np.asarray(actions)
                 self.timer.stop("actor")
 
