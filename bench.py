@@ -42,7 +42,7 @@ def info(msg):
 
 def game_action_space(game):
     return {"pong": 6, "breakout": 4, "space_invaders": 6, "freeway": 3,
-            "qbert": 6}[game]
+            "qbert": 6, "boxing": 18}[game]
 
 
 def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1,

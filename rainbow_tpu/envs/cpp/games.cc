@@ -600,6 +600,150 @@ class Qbert final : public Game {
   bool over_ = false;
 };
 
+// ---------------------------------------------------------------------------
+// Boxing: two boxers in a ring, +1 per landed punch, -1 per punch taken;
+// 2-minute bout (ends on the clock or a 100-point KO), no lives. Full
+// 18-action set (all 9 directions x fire/no-fire — ALE boxing's minimal set
+// IS the full set). The one game with per-step negative rewards and an
+// adversarial opponent AI.
+// ---------------------------------------------------------------------------
+class Boxing final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    frame_ = 0;
+    score_me_ = score_cpu_ = 0;
+    over_ = false;
+    me_x_ = 55; me_y_ = 105; cpu_x_ = 105; cpu_y_ = 105;
+    me_punch_ = cpu_punch_ = me_cool_ = cpu_cool_ = 0;
+    me_stun_ = cpu_stun_ = 0;
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    if (++frame_ >= kBoutFrames) over_ = true;
+    // Decode the ALE 18-action layout: 0 NOOP, 1 FIRE, 2-9 the 8 directions
+    // (UP RIGHT LEFT DOWN UPRIGHT UPLEFT DOWNRIGHT DOWNLEFT), 10-17 the same
+    // with FIRE.
+    bool fire = action == 1 || action >= 10;
+    int dir = action >= 10 ? action - 9 : action;  // 1..9 -> direction slot
+    float dx = 0, dy = 0;
+    switch (dir) {
+      case 2: dy = -1; break;            // UP
+      case 3: dx = 1; break;             // RIGHT
+      case 4: dx = -1; break;            // LEFT
+      case 5: dy = 1; break;             // DOWN
+      case 6: dx = 1; dy = -1; break;    // UPRIGHT
+      case 7: dx = -1; dy = -1; break;   // UPLEFT
+      case 8: dx = 1; dy = 1; break;     // DOWNRIGHT
+      case 9: dx = -1; dy = 1; break;    // DOWNLEFT
+      default: break;
+    }
+    float reward = 0.0f;
+    if (me_stun_ > 0) { --me_stun_; }
+    else {
+      me_x_ = std::clamp(me_x_ + dx * kSpeed, (float)kRingL,
+                         (float)(kRingR - kBoxerW));
+      me_y_ = std::clamp(me_y_ + dy * kSpeed, (float)kRingT,
+                         (float)(kRingB - kBoxerH));
+      if (fire && me_cool_ == 0) { me_punch_ = kPunchFrames; me_cool_ = 18; }
+    }
+    if (me_cool_ > 0) --me_cool_;
+
+    // Opponent AI: closes distance with capped speed and jitter, punches
+    // when in reach; beatable via its longer cooldown and the stun window.
+    if (cpu_stun_ > 0) { --cpu_stun_; }
+    else {
+      float tx = me_x_ + (me_x_ < cpu_x_ ? kReach : -kReach);
+      float jx = (float)(int)(rng_.below(3)) - 1.0f;
+      float jy = (float)(int)(rng_.below(3)) - 1.0f;
+      cpu_x_ += std::clamp(tx - cpu_x_, -kCpuSpeed, kCpuSpeed) + jx * 0.4f;
+      cpu_y_ += std::clamp(me_y_ - cpu_y_, -kCpuSpeed, kCpuSpeed) + jy * 0.4f;
+      cpu_x_ = std::clamp(cpu_x_, (float)kRingL, (float)(kRingR - kBoxerW));
+      cpu_y_ = std::clamp(cpu_y_, (float)kRingT, (float)(kRingB - kBoxerH));
+      if (cpu_cool_ == 0 && in_reach(cpu_x_, cpu_y_, me_x_, me_y_) &&
+          rng_.below(3) == 0) {
+        cpu_punch_ = kPunchFrames;
+        cpu_cool_ = 26;
+      }
+    }
+    if (cpu_cool_ > 0) --cpu_cool_;
+
+    // Resolve punches at full extension (mid-swing frame).
+    if (me_punch_ > 0 && --me_punch_ == kPunchFrames / 2 &&
+        in_reach(me_x_, me_y_, cpu_x_, cpu_y_)) {
+      ++score_me_;
+      reward += 1.0f;
+      cpu_stun_ = 10;
+      cpu_x_ += (cpu_x_ >= me_x_ ? 6.0f : -6.0f);  // knockback
+      cpu_x_ = std::clamp(cpu_x_, (float)kRingL, (float)(kRingR - kBoxerW));
+    }
+    if (cpu_punch_ > 0 && --cpu_punch_ == kPunchFrames / 2 &&
+        in_reach(cpu_x_, cpu_y_, me_x_, me_y_)) {
+      ++score_cpu_;
+      reward -= 1.0f;
+      me_stun_ = 10;
+      me_x_ += (me_x_ >= cpu_x_ ? 6.0f : -6.0f);
+      me_x_ = std::clamp(me_x_, (float)kRingL, (float)(kRingR - kBoxerW));
+    }
+    if (score_me_ >= 100 || score_cpu_ >= 100) over_ = true;  // KO
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    // Ring: apron + ropes.
+    c.rect(kRingT - 8, kRingL - 10, kRingB - kRingT + 16, kRingR - kRingL + 20,
+           kDim);
+    c.rect(kRingT - 2, kRingL - 4, 2, kRingR - kRingL + 8, kBright);
+    c.rect(kRingB, kRingL - 4, 2, kRingR - kRingL + 8, kBright);
+    c.rect(kRingT - 2, kRingL - 4, kRingB - kRingT + 2, 2, kBright);
+    c.rect(kRingT - 2, kRingR + 2, kRingB - kRingT + 2, 2, kBright);
+    // Score pips (white left, black right — like the ALE clock/score band).
+    for (int i = 0; i < std::min(score_me_, 48); ++i)
+      c.rect(14, 8 + i * 3, 6, 2, kBright);
+    for (int i = 0; i < std::min(score_cpu_, 48); ++i)
+      c.rect(14, 152 - i * 3, 6, 2, kMid);
+    draw_boxer(c, me_x_, me_y_, cpu_x_, me_punch_, kBright);
+    draw_boxer(c, cpu_x_, cpu_y_, me_x_, cpu_punch_, kMid);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return 0; }
+  int num_actions() const override { return 18; }
+
+ private:
+  static constexpr int kRingL = 24, kRingR = 136, kRingT = 50, kRingB = 180;
+  static constexpr int kBoxerW = 8, kBoxerH = 12;
+  static constexpr int kPunchFrames = 8;
+  static constexpr int kReach = 18;
+  static constexpr int kBoutFrames = 7200;  // 2 minutes at 60 fps
+  static constexpr float kSpeed = 1.5f, kCpuSpeed = 0.9f;
+
+  static bool in_reach(float ax, float ay, float bx, float by) {
+    float dx = std::abs(ax - bx), dy = std::abs(ay - by);
+    return dx >= kBoxerW - 2 && dx <= kReach + kBoxerW && dy <= 8.0f;
+  }
+
+  void draw_boxer(Canvas& c, float x, float y, float opp_x, int punch,
+                  uint8_t v) const {
+    c.rect((int)y, (int)x, kBoxerH, kBoxerW, v);            // torso
+    c.rect((int)y - 4, (int)x + 2, 4, 4, v);                // head
+    int ext = punch > 0 ? kReach : 4;                       // arm
+    int ax = opp_x >= x ? (int)x + kBoxerW : (int)x - ext;
+    c.rect((int)y + 3, ax, 2, ext, v);
+  }
+
+  Rng rng_{0};
+  float me_x_ = 55, me_y_ = 105, cpu_x_ = 105, cpu_y_ = 105;
+  int me_punch_ = 0, cpu_punch_ = 0, me_cool_ = 0, cpu_cool_ = 0;
+  int me_stun_ = 0, cpu_stun_ = 0;
+  int score_me_ = 0, score_cpu_ = 0, frame_ = 0;
+  bool over_ = false;
+};
+
 }  // namespace
 
 Game* make_game(const char* name) {
@@ -609,6 +753,7 @@ Game* make_game(const char* name) {
   if (g == "space_invaders") return new SpaceInvaders();
   if (g == "freeway") return new Freeway();
   if (g == "qbert") return new Qbert();
+  if (g == "boxing") return new Boxing();
   // Fall through to the real ALE (dlopen'd) for any other game name when a
   // libale + ROM directory are configured (see ale_backend.cc).
   return make_ale_game(name);

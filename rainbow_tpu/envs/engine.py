@@ -16,7 +16,7 @@ import numpy as np
 _CPP_DIR = os.path.join(os.path.dirname(__file__), "cpp")
 _LIB_PATH = os.path.join(_CPP_DIR, "librainbow_env.so")
 
-GAMES = ("pong", "breakout", "space_invaders", "freeway", "qbert")
+GAMES = ("pong", "breakout", "space_invaders", "freeway", "qbert", "boxing")
 FRAME = 84
 
 

@@ -14,7 +14,7 @@ def pong():
 
 def test_games_register_and_action_spaces():
     for game, n_act in [("pong", 6), ("breakout", 4), ("space_invaders", 6),
-                        ("freeway", 3), ("qbert", 6)]:
+                        ("freeway", 3), ("qbert", 6), ("boxing", 18)]:
         env = BatchedEnv(game, num_envs=2, seed=1)
         assert env.action_space == n_act
         f = env.reset_all()
@@ -58,6 +58,36 @@ def test_pong_scores_eventually():
         _, _, r, _, _ = env.step(rng.integers(0, 6, 8))
         total += np.abs(r).sum()
     assert total > 0
+    env.close()
+
+
+def test_boxing_two_sided_rewards_and_clock():
+    """Boxing: the opponent AI lands punches on a passive player (negative
+    rewards); an approach-and-punch script lands positive ones; the bout
+    ends on the 2-minute clock with a full reset."""
+    env = BatchedEnv("boxing", num_envs=4, seed=5)
+    env.reset_all()
+    neg = 0.0
+    for _ in range(400):  # passive: NOOP
+        _, _, r, _, _ = env.step(np.zeros(4, np.int64))
+        neg += r[r < 0].sum()
+    assert neg < 0, "opponent never landed a punch"
+
+    pos = 0.0
+    rng = np.random.default_rng(2)
+    for _ in range(600):  # aggressive: random directional punches
+        _, _, r, _, _ = env.step(rng.integers(10, 18, 4))
+        pos += r[r > 0].sum()
+    assert pos > 0, "player never landed a punch"
+    env.close()
+
+    env = BatchedEnv("boxing", num_envs=2, seed=9, max_episode_length=2000)
+    env.reset_all()
+    kinds = set()
+    for _ in range(600):  # 600 agent steps x4 frames > 2000-frame cap
+        _, _, _, _, k = env.step(np.zeros(2, np.int64))
+        kinds.update(k.tolist())
+    assert 2 in kinds, "bout never ended within the frame cap"
     env.close()
 
 
