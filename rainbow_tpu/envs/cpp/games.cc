@@ -662,9 +662,9 @@ class Boxing final : public Game {
       cpu_x_ = std::clamp(cpu_x_, (float)kRingL, (float)(kRingR - kBoxerW));
       cpu_y_ = std::clamp(cpu_y_, (float)kRingT, (float)(kRingB - kBoxerH));
       if (cpu_cool_ == 0 && in_reach(cpu_x_, cpu_y_, me_x_, me_y_) &&
-          rng_.below(3) == 0) {
+          rng_.below(2) == 0) {
         cpu_punch_ = kPunchFrames;
-        cpu_cool_ = 26;
+        cpu_cool_ = 20;
       }
     }
     if (cpu_cool_ > 0) --cpu_cool_;
@@ -720,7 +720,7 @@ class Boxing final : public Game {
   static constexpr int kPunchFrames = 8;
   static constexpr int kReach = 18;
   static constexpr int kBoutFrames = 7200;  // 2 minutes at 60 fps
-  static constexpr float kSpeed = 1.5f, kCpuSpeed = 0.9f;
+  static constexpr float kSpeed = 1.5f, kCpuSpeed = 1.1f;
 
   static bool in_reach(float ax, float ay, float bx, float by) {
     float dx = std::abs(ax - bx), dy = std::abs(ay - by);
