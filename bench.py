@@ -9,7 +9,7 @@ dispatches — the shape of reference main.py:146-158) measured on the same
 hardware in the same process. Learner updates/s is measured too and reported
 on stderr.
 
-Env knobs: BENCH_ENVS (default 128), BENCH_ITERS (default 60),
+Env knobs: BENCH_ENVS (default 1024), BENCH_ITERS (default 60),
 BENCH_GAME (default pong), BENCH_PLATFORM (force e.g. cpu).
 """
 from __future__ import annotations
@@ -223,7 +223,7 @@ def bench_learner(cfg, agent, rep, A, rounds=5, learns_per_round=32):
 
 
 def main():
-    num_envs = int(os.environ.get("BENCH_ENVS", 128))
+    num_envs = int(os.environ.get("BENCH_ENVS", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 60))
     game = os.environ.get("BENCH_GAME", "pong")
     cfg = rainbow_tpu.canonical(
