@@ -423,6 +423,22 @@ void renv_resize(const uint8_t* src, uint8_t* dst) {
   rainbow::resize_bilinear(src, dst);
 }
 
+// Test hook: step a standalone game instance through a raw action sequence
+// and return its 210x160 screen — game-level probe bypassing the episode
+// semantics (no no-op starts, no action repeat), for behavior tests such as
+// the ALE 18-action directional-fire decode.
+int renv_game_probe(const char* game, uint64_t seed, const int32_t* actions,
+                    int n, uint8_t* screen_out) {
+  rainbow::Game* g = rainbow::make_game(game);
+  if (!g) return -1;
+  g->reset(seed);
+  for (int i = 0; i < n; ++i) g->act(actions[i]);
+  g->screen(screen_out);
+  int na = g->num_actions();
+  delete g;
+  return na;
+}
+
 void renv_step(void* h, const int32_t* actions, uint8_t* obs,
                uint8_t* reset_frames, float* rewards, uint8_t* dones,
                uint8_t* reset_kinds) {

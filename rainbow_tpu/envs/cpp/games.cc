@@ -626,7 +626,9 @@ class Boxing final : public Game {
     // (UP RIGHT LEFT DOWN UPRIGHT UPLEFT DOWNRIGHT DOWNLEFT), 10-17 the same
     // with FIRE.
     bool fire = action == 1 || action >= 10;
-    int dir = action >= 10 ? action - 9 : action;  // 1..9 -> direction slot
+    // Actions 10-17 are the 8 directions with FIRE (10 UPFIRE .. 17
+    // DOWNLEFTFIRE) — they map onto direction slots 2-9.
+    int dir = action >= 10 ? action - 8 : action;
     float dx = 0, dy = 0;
     switch (dir) {
       case 2: dy = -1; break;            // UP

@@ -42,10 +42,28 @@ def _load_lib() -> ctypes.CDLL:
     lib.renv_step_delta.argtypes = [ctypes.c_void_p, i32p, i32p, u8p, i64p,
                                     u8p, f32p, u8p, u8p]
     lib.renv_copy_obs.argtypes = [ctypes.c_void_p, u8p]
+    lib.renv_game_probe.argtypes = [ctypes.c_char_p, ctypes.c_uint64, i32p,
+                                    ctypes.c_int, u8p]
+    lib.renv_game_probe.restype = ctypes.c_int
     return lib
 
 
 _lib = None
+
+
+def game_probe(game: str, seed: int, actions: np.ndarray) -> np.ndarray:
+    """Step a standalone game instance through a raw action sequence and
+    return its 210x160 screen (test hook — bypasses episode semantics)."""
+    global _lib
+    if _lib is None:
+        _lib = _load_lib()
+    actions = np.ascontiguousarray(actions, np.int32)
+    out = np.empty((210, 160), np.uint8)
+    rc = _lib.renv_game_probe(game.encode(), seed, actions,
+                              len(actions), out)
+    if rc < 0:
+        raise ValueError(f"unknown game {game!r}")
+    return out
 
 
 def resize_bilinear(frame: np.ndarray) -> np.ndarray:

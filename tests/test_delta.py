@@ -104,10 +104,12 @@ def test_pack_delta_padding_stays_sorted():
     pidx, pval = pack_delta(didx, dval, num_cells=1000)
     assert pidx.shape == pval.shape == (1024,)
     np.testing.assert_array_equal(pidx[:3], didx)
-    assert np.all(pidx[3:] == 1000)  # one-past-the-end pad: dropped, sorted
+    assert np.all(pidx[3:] >= 1000)  # out-of-bounds pad: dropped by scatter
     np.testing.assert_array_equal(pval[:3], dval)
     assert np.all(pval[3:] == 0)
-    assert np.all(np.diff(pidx.astype(np.int64)) >= 0)
+    # The scatter asserts indices_are_sorted AND unique_indices — the padded
+    # stream must satisfy both (strictly increasing).
+    assert np.all(np.diff(pidx.astype(np.int64)) > 0)
 
 
 def test_actor_step_delta_equals_dense_actor_step():

@@ -91,6 +91,67 @@ def test_boxing_two_sided_rewards_and_clock():
     env.close()
 
 
+def _boxing_player_centroid(screen):
+    """(y, x) centroid of the bright (255) player pixels inside the ring
+    interior — excludes the bright ropes (rows 48-49/180-181, cols 20-21/
+    138-139) and the score pips (row 14)."""
+    interior = screen[52:178, 26:134]
+    ys, xs = np.nonzero(interior == 255)
+    assert len(ys) > 0, "player not found in ring interior"
+    return ys.mean() + 52, xs.mean() + 26
+
+
+@pytest.mark.parametrize("action", [3, 10, 11, 12])
+def test_boxing_fire_actions_keep_their_direction(action):
+    """ALE 18-action layout: 10-17 are the 8 directions WITH fire and must
+    move exactly like their no-fire counterparts 2-9 (regression test for a
+    decode that mapped 10 UPFIRE onto the no-direction slot and shifted every
+    directional fire one slot early — e.g. 11 RIGHTFIRE moved UP)."""
+    from rainbow_tpu.envs.engine import game_probe
+    n = 40
+    before = game_probe("boxing", seed=3, actions=np.zeros(0, np.int32))
+    after = game_probe("boxing", seed=3,
+                       actions=np.full(n, action, np.int32))
+    y0, x0 = _boxing_player_centroid(before)
+    y1, x1 = _boxing_player_centroid(after)
+    # Direction slots: 2 UP, 3 RIGHT, 4 LEFT, 5 DOWN, 6 UPRIGHT, 7 UPLEFT,
+    # 8 DOWNRIGHT, 9 DOWNLEFT; 10-17 the same with FIRE.
+    moves = {2: (0, -1), 3: (1, 0), 4: (-1, 0), 5: (0, 1), 6: (1, -1),
+             7: (-1, -1), 8: (1, 1), 9: (-1, 1)}
+    dir_slot = action - 8 if action >= 10 else action
+    ex, ey = moves[dir_slot]
+    if ex:
+        assert (x1 - x0) * ex > 10, f"action {action}: expected x sign {ex}"
+    else:
+        assert abs(x1 - x0) < 12, f"action {action}: unexpected x drift"
+    if ey:
+        assert (y1 - y0) * ey > 10, f"action {action}: expected y sign {ey}"
+    else:
+        assert abs(y1 - y0) < 12, f"action {action}: unexpected y drift"
+
+
+def test_boxing_fire_direction_pairs_match():
+    """Every FIRE+direction action (10-17) lands the player at the same
+    position as its plain-direction twin (2-9) under an opponent-free probe
+    horizon; in particular DOWNLEFT+FIRE (17) is reachable and moves
+    down-left."""
+    from rainbow_tpu.envs.engine import game_probe
+    n = 12  # short horizon: before the opponent can close distance and stun
+    for fire_a in range(10, 18):
+        plain_a = fire_a - 8
+        sf = game_probe("boxing", seed=11,
+                        actions=np.full(n, fire_a, np.int32))
+        sp = game_probe("boxing", seed=11,
+                        actions=np.full(n, plain_a, np.int32))
+        yf, xf = _boxing_player_centroid(sf)
+        yp, xp = _boxing_player_centroid(sp)
+        # Fire extends the arm sprite, shifting the bright centroid slightly;
+        # the torso position must match within that sprite delta.
+        assert abs(xf - xp) < 6 and abs(yf - yp) < 6, (
+            f"fire action {fire_a} diverged from direction {plain_a}: "
+            f"({xf:.1f},{yf:.1f}) vs ({xp:.1f},{yp:.1f})")
+
+
 def test_breakout_life_loss_training_vs_eval():
     """Training mode: life loss → done with reset_kind 1 (stack kept);
     eval mode: only true game over terminates (reference env.py:69-85)."""
