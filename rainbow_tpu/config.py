@@ -64,10 +64,11 @@ class RainbowConfig:
     # TPU-native knobs (no reference equivalent)
     num_envs: int = 64                 # batched-ALE engine width per host
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16' network compute
-    data_axis: str = "data"            # mesh axis name for learner DP
     env_backend: str = "native"        # 'native' (C++ engine) | 'fake' (python fixture)
-    jit_learn: bool = True
     use_pallas_head: bool = False      # fused noisy-dueling-head Pallas kernel
+    per_env_noise: bool = False        # independent NoisyNet draw per env row
+    # at act time (decorrelated batched exploration). Off = one shared noise
+    # sample for the whole act batch — the reference's single-env semantics.
     pipeline_actor: bool = False       # overlap engine stepping with device
     # compute by accepting a 1-step policy lag (actions for step t+1 are
     # computed from state t). Off by default for strict reference parity;
@@ -98,6 +99,13 @@ class RainbowConfig:
     # Persistence
     model_path: Optional[str] = None   # reference main.py:35 --model (resume/eval)
     memory_path: Optional[str] = None  # reference main.py:57 --memory
+    memory_save_interval: int = 0      # env-steps between replay-bearing
+    # checkpoint saves when --memory is set. 0 = save at every evaluation
+    # (reference parity, main.py:172-174); >0 decouples the (large) replay
+    # write from the eval cadence.
+    compress_memory: bool = True       # deflate the replay-bearing save —
+    # the reference's bz2 pickling (main.py:85-100); opt out like its
+    # --disable-bzip-memory.
 
     @property
     def conv_output_size(self) -> int:
