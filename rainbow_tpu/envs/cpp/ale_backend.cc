@@ -102,23 +102,37 @@ class AleGame final : public Game {
     if (ale_) ale_api().ALE_del(ale_);
   }
 
+  // One-time create + configure + ROM load. Split from reset() because the
+  // engine reads num_actions() at construction, BEFORE the first reset —
+  // the minimal action set depends only on the ROM. The per-env seed is
+  // applied at the first reset() via a re-load (ALE applies random_seed at
+  // loadROM time), matching the reference order: seed set before the
+  // effective loadROM (env.py:13-18).
+  void ensure_init() {
+    if (ale_) return;
+    const AleApi& api = ale_api();
+    ale_ = api.ALE_new();
+    // max_num_frames_per_episode intentionally unset: the engine layer
+    // enforces the frame cap uniformly for all backends.
+    api.setFloat(ale_, "repeat_action_probability", 0.0f);  // env.py:15
+    api.setInt(ale_, "frame_skip", 0);                      // env.py:16
+    api.setBool(ale_, "color_averaging", false);            // env.py:17
+    api.loadROM(ale_, rom_.c_str());                        // env.py:18
+    int n = api.getMinimalActionSize(ale_);
+    actions_.resize(n);
+    api.getMinimalActionSet(ale_, actions_.data());
+    w_ = api.getScreenWidth(ale_);
+    h_ = api.getScreenHeight(ale_);
+    raw_.resize((size_t)w_ * h_);
+  }
+
   void reset(uint64_t seed) override {
     const AleApi& api = ale_api();
-    if (!ale_) {
-      ale_ = api.ALE_new();
+    ensure_init();
+    if (!seeded_) {
       api.setInt(ale_, "random_seed", (int)(seed & 0x7fffffff));
-      // max_num_frames_per_episode intentionally unset: the engine layer
-      // enforces the frame cap uniformly for all backends.
-      api.setFloat(ale_, "repeat_action_probability", 0.0f);  // env.py:15
-      api.setInt(ale_, "frame_skip", 0);                      // env.py:16
-      api.setBool(ale_, "color_averaging", false);            // env.py:17
-      api.loadROM(ale_, rom_.c_str());                        // env.py:18
-      int n = api.getMinimalActionSize(ale_);
-      actions_.resize(n);
-      api.getMinimalActionSet(ale_, actions_.data());
-      w_ = api.getScreenWidth(ale_);
-      h_ = api.getScreenHeight(ale_);
-      raw_.resize((size_t)w_ * h_);
+      api.loadROM(ale_, rom_.c_str());  // re-load so the seed takes effect
+      seeded_ = true;
     }
     api.reset_game(ale_);
   }
@@ -143,11 +157,15 @@ class AleGame final : public Game {
 
   bool game_over() const override { return ale_api().game_over(ale_); }
   int lives() const override { return ale_api().lives(ale_); }
-  int num_actions() const override { return (int)actions_.size(); }
+  int num_actions() const override {
+    const_cast<AleGame*>(this)->ensure_init();
+    return (int)actions_.size();
+  }
 
  private:
   std::string rom_;
   void* ale_ = nullptr;
+  bool seeded_ = false;
   std::vector<int> actions_;
   std::vector<uint8_t> raw_;
   int w_ = kScreenW, h_ = kScreenH;
