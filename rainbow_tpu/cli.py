@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluation-size", type=int, default=None)
     p.add_argument("--checkpoint-interval", type=int, default=None)
     p.add_argument("--memory", dest="memory_path", default=None)
+    p.add_argument("--memory-save-interval", type=int, default=None,
+                   help="env-steps between replay-bearing saves "
+                        "(0 = at every evaluation, reference parity)")
+    p.add_argument("--no-compress-memory", dest="compress_memory",
+                   action="store_false", default=None,
+                   help="disable deflate on replay-bearing saves "
+                        "(the reference's --disable-bzip-memory)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="restore a full atomic checkpoint (exact resume — "
                         "unlike the reference's partial weights+memory resume)")
@@ -71,8 +78,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-depth", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true", default=None)
     p.add_argument("--use-pallas-head", action="store_true", default=None)
+    p.add_argument("--per-env-noise", action="store_true", default=None,
+                   help="independent NoisyNet draw per env at act time "
+                        "(decorrelated batched exploration)")
     p.add_argument("--profile", action="store_true", default=None,
                    help="capture a jax.profiler trace of the training loop")
+    # Multi-host bring-up (jax.distributed): launch one process per host with
+    # the same flags except --process-id. Each host runs num_envs/P envs and
+    # its own replay shard; the learner psum-means gradients over the global
+    # mesh (parallel/multihost.py).
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (multi-host)")
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--process-count", type=int, default=None)
     return p
 
 
@@ -87,12 +105,19 @@ def parse_config(argv=None):
 
 def main(argv=None):
     cfg, args = parse_config(argv)
+    if args.process_count and args.process_count > 1:
+        # Must run before any other JAX use so every process sees the global
+        # device set (parallel/mesh.init_distributed).
+        from rainbow_tpu.parallel.mesh import init_distributed
+        init_distributed(coordinator=args.coordinator,
+                         num_processes=args.process_count,
+                         process_id=args.process_id)
     # Persistent compilation cache: repeated runs (and checkpoint-resume
     # segments) skip recompiles — significant where compiles are remote.
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(cfg.results_dir, ".jax_cache"))
+                          os.path.expanduser("~/.cache/rainbow_tpu/jax"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -51,6 +51,39 @@ def globalize_replay(mesh: Mesh, rep_local, axis_name: str = "data"):
     return jax.tree.map(one, rep_local)
 
 
+def local_rows(garr: jax.Array) -> np.ndarray:
+    """This process's rows of a leading-axis-sharded global array, as one
+    contiguous ndarray (host-side view for the env engine: the actions it
+    must execute, ordered by global row index)."""
+    shards = {}
+    for s in garr.addressable_shards:
+        shards.setdefault(s.index[0].start or 0, s)
+    return np.concatenate([np.asarray(shards[k].data)
+                           for k in sorted(shards)], axis=0)
+
+
+def local_value(garr):
+    """Full value of a REPLICATED global array from this process's copy
+    (np.asarray on a non-fully-addressable array would fail)."""
+    if not isinstance(garr, jax.Array) or garr.is_fully_addressable:
+        return np.asarray(garr)
+    if jax.dtypes.issubdtype(garr.dtype, jax.dtypes.prng_key):
+        data = local_value(jax.random.key_data(garr))
+        return jax.random.wrap_key_data(jax.numpy.asarray(data))
+    return np.asarray(garr.addressable_shards[0].data)
+
+
+def local_params(params):
+    """Host-local copy of a replicated params pytree, usable in plain
+    single-process jit computations (evaluation, validation-Q)."""
+    import jax.numpy as jnp
+
+    def one(x):
+        v = local_value(x)
+        return v if isinstance(v, jax.Array) else jnp.asarray(v)
+    return jax.tree.map(one, params)
+
+
 def globalize_agent(mesh: Mesh, agent):
     """Replicate the agent state (identical on every process — same seed)."""
     def one(x):

@@ -153,22 +153,28 @@ def update_step_packed(cfg: RainbowConfig, action_space: int, stack,
 _DELTA_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1 << 20, 1 << 22)
 
 
+def delta_bucket(k: int):
+    """Smallest static delta bucket ≥ k, or None if k exceeds the table
+    (callers must fall back to the dense path — an exact-size shape would
+    trigger a fresh jit specialisation per distinct delta size)."""
+    for b in _DELTA_BUCKETS:
+        if b >= k:
+            return b
+    return None
+
+
 def pack_delta(didx: np.ndarray, dval: np.ndarray, num_cells: int,
                min_bucket: int = 0):
     """Pad a sparse frame delta (engine.step_delta) to the smallest static
-    bucket so jit specialisations stay bounded. Pads with index ``num_cells``
-    (one past the end — dropped by the device scatter) so the index stream
-    stays sorted and unique. ``min_bucket`` pins a floor (callers that want
-    one stable specialisation pass their observed typical size)."""
-    k = max(didx.shape[0], min_bucket)
-    for b in _DELTA_BUCKETS:
-        if b >= k:
-            kp = b
-            break
-    else:
-        kp = k
+    bucket so jit specialisations stay bounded. Pads with strictly increasing
+    out-of-bounds indices (num_cells, num_cells+1, ...) — dropped by the
+    device scatter — so the padded index stream stays both sorted AND unique
+    (the device scatter asserts both). ``min_bucket`` pins a floor (callers
+    that want one stable specialisation pass their observed typical size)."""
     k = didx.shape[0]
-    out_idx = np.full((kp,), num_cells, np.int32)
+    kp = delta_bucket(max(k, min_bucket))
+    assert kp is not None, "delta exceeds bucket table; use the dense path"
+    out_idx = np.arange(num_cells, num_cells + kp, dtype=np.int32)
     out_idx[:k] = didx
     out_val = np.zeros((kp,), np.uint8)
     out_val[:k] = dval
@@ -235,6 +241,10 @@ def _learner_round_impl(agent: ag.AgentState, rep: rp.ReplayState,
     11 GB HLO temp (both observed at 1024 envs × 1M transitions)."""
     def body(carry, k):
         a, p, max_p = carry
+        # Re-draw the online-net noise before every update (reference
+        # main.py:150-151 + agent.py:49-50 reset noise per learn) — without
+        # this, every update in the round shares one frozen noise sample.
+        a = ag.reset_noise(a)
         r = rep.replace(priorities=p, max_priority=max_p)
         a, r, loss = ag.learn_step(a, r, cfg, action_space, beta, k)
         return (a, r.priorities, r.max_priority), loss
@@ -262,18 +272,37 @@ class Trainer:
     """Stateful driver around the functional core (host-side scheduling only)."""
 
     def __init__(self, cfg: RainbowConfig,
-                 make_env: Optional[Callable] = None):
+                 make_env: Optional[Callable] = None,
+                 devices: Optional[list] = None):
         self.cfg = cfg
+        self._devices = devices  # explicit device subset for the DP mesh
         self.make_env = make_env or make_env_factory(cfg)
         self.results_dir = os.path.join(cfg.results_dir, cfg.run_id)
-        os.makedirs(self.results_dir, exist_ok=True)
+        self.proc_id = jax.process_index()
+        self.num_procs = jax.process_count()
+        self.multi_process = self.num_procs > 1
+        self.is_chief = self.proc_id == 0  # file-writing process
+        if self.is_chief:
+            os.makedirs(self.results_dir, exist_ok=True)
         self.metrics = {"steps": [], "rewards": [], "Qs": [],
                         "best_avg_reward": -float("inf")}
         self.timer = Timer()
 
-        self.env = self.make_env(num_envs=cfg.num_envs, training=True)
+        # Per-host env slice: cfg.num_envs is the GLOBAL env count; each
+        # process runs its own engine over num_envs/P envs with a
+        # process-distinct seed stream (SURVEY.md §5: host-local data paths).
+        if self.multi_process:
+            assert cfg.num_envs % self.num_procs == 0, (
+                f"num_envs {cfg.num_envs} must divide over "
+                f"{self.num_procs} processes")
+            if cfg.pipeline_actor or cfg.delta_uploads:
+                raise ValueError("pipeline_actor/delta_uploads are "
+                                 "single-process modes")
+        self.envs_local = cfg.num_envs // self.num_procs
+        self.env = self.make_env(num_envs=self.envs_local, training=True,
+                                 seed_offset=self.proc_id * 7919)
         self.action_space = self.env.action_space
-        key = jax.random.key(cfg.seed)
+        key = jax.random.key(cfg.seed)  # identical on every process
         k_agent, self.loop_key = jax.random.split(key)
         self.agent = ag.init_agent(k_agent, cfg, self.action_space)
         if cfg.model_path:  # pretrained weights (reference agent.py:26-36)
@@ -281,7 +310,7 @@ class Trainer:
             self.agent = self.agent.replace(
                 params=params, target_params=jax.tree.map(jnp.copy, params))
             log(f"Loaded pretrained model: {cfg.model_path}")
-        self.rep = rp.init_replay(cfg.num_envs, cfg.capacity_per_env,
+        self.rep = rp.init_replay(self.envs_local, cfg.capacity_per_env,
                                   cfg.frame_size)
         self.T = 0  # env steps taken (reference's T, in agent steps)
 
@@ -296,16 +325,33 @@ class Trainer:
                           / max(cfg.total_steps - cfg.learn_start, 1))
 
         # Multi-device data parallelism: replicated agent, env-sharded
-        # replay, psum-mean learner (parallel/learner.py).
+        # replay, psum-mean learner (parallel/learner.py). The multi-process
+        # path is the same design over a mesh spanning every process's
+        # devices (parallel/multihost.py): agent replicated globally, each
+        # host's replay rows living on its own devices, pmean/pmax
+        # collectives riding ICI within a host and DCN across hosts.
         self._dist_learn = None
-        if cfg.data_parallel:
+        if self.multi_process:
+            from rainbow_tpu.parallel.learner import make_distributed_learn
+            from rainbow_tpu.parallel.multihost import (globalize_agent,
+                                                        globalize_replay,
+                                                        make_global_mesh)
+            self.mesh = make_global_mesh()
+            n_dev = self.mesh.devices.size
+            assert cfg.num_envs % n_dev == 0, (
+                f"num_envs {cfg.num_envs} must divide over {n_dev} devices")
+            self._dist_learn = make_distributed_learn(
+                self.mesh, cfg, self.action_space, self.learns_per_iter)
+            self.agent = globalize_agent(self.mesh, self.agent)
+            self.rep = globalize_replay(self.mesh, self.rep)
+        elif cfg.data_parallel:
             from rainbow_tpu.parallel.learner import (make_distributed_learn,
                                                       shard_states)
             from rainbow_tpu.parallel.mesh import make_mesh
-            n_dev = len(jax.devices())
+            n_dev = len(self._devices or jax.devices())
             assert cfg.num_envs % n_dev == 0, (
                 f"num_envs {cfg.num_envs} must divide over {n_dev} devices")
-            self.mesh = make_mesh()
+            self.mesh = make_mesh(self._devices)
             self._dist_learn = make_distributed_learn(
                 self.mesh, cfg, self.action_space, self.learns_per_iter)
             self.agent, self.rep, _ = shard_states(
@@ -320,6 +366,14 @@ class Trainer:
                              self.action_space, self.learns_per_iter,
                              jnp.float32(beta), key)
 
+    def _eval_params(self):
+        """Params usable in plain (single-process) jit computations: the
+        globally-replicated agent params collapse to this host's copy."""
+        if not self.multi_process:
+            return self.agent.params
+        from rainbow_tpu.parallel.multihost import local_params
+        return local_params(self.agent.params)
+
     # ---- persistence ----------------------------------------------------
     def _full_state(self, include_replay: bool):
         st = {"agent": self.agent, "T": self.T,
@@ -329,26 +383,61 @@ class Trainer:
             st["replay"] = self.rep
         return st
 
+    def _ckpt_path(self, name: str) -> str:
+        """Multi-process runs write one file per host (each host's replay
+        rows are only addressable there); single-process keeps plain names."""
+        if self.multi_process:
+            name += f".proc{self.proc_id}-of-{self.num_procs}"
+        return os.path.join(self.results_dir, name)
+
     def save_checkpoint(self, name="checkpoint.npz", include_replay=None):
         if include_replay is None:
             include_replay = self.cfg.memory_path is not None
-        ckpt.save_pytree(os.path.join(self.results_dir, name),
-                         self._full_state(include_replay))
+        os.makedirs(self.results_dir, exist_ok=True)
+        ckpt.save_pytree(self._ckpt_path(name),
+                         self._full_state(include_replay),
+                         compress=include_replay and self.cfg.compress_memory)
 
     def restore_checkpoint(self, path: str):
-        st = ckpt.load_pytree(path)
-        self.agent = jax.tree.map(jnp.asarray, st["agent"])
+        """Restore a checkpoint. In a multi-process run every process passes
+        the BASE path (without the .procK suffix) and loads its own file,
+        re-globalizing the agent (replicated) and its replay shard over the
+        mesh."""
+        if self.multi_process:
+            base = path
+            if not os.path.exists(base) or self.num_procs > 1:
+                suffixed = f"{path}.proc{self.proc_id}-of-{self.num_procs}"
+                if os.path.exists(suffixed):
+                    base = suffixed
+            st = ckpt.load_pytree(base)
+            from rainbow_tpu.parallel.multihost import (globalize_agent,
+                                                        globalize_replay)
+            self.agent = globalize_agent(self.mesh, st["agent"])
+            if "replay" in st:
+                self.rep = globalize_replay(self.mesh, st["replay"])
+        else:
+            st = ckpt.load_pytree(path)
+            self.agent = jax.tree.map(jnp.asarray, st["agent"])
+            if "replay" in st:
+                self.rep = jax.tree.map(jnp.asarray, st["replay"])
+            if self._dist_learn is not None:  # re-apply the DP shardings
+                from rainbow_tpu.parallel.learner import shard_states
+                self.agent, self.rep, _ = shard_states(
+                    self.mesh, self.agent, self.rep,
+                    jnp.zeros((self.cfg.num_envs, 1, 1, 1)))
         self.T = int(st["T"])
         self.metrics = json.loads(bytes(st["metrics_json"]).decode())
-        if "replay" in st:
-            self.rep = jax.tree.map(jnp.asarray, st["replay"])
         log(f"Restored checkpoint at T={self.T} from {path}")
 
     # ---- evaluation -----------------------------------------------------
     def evaluate_now(self, val_states, evaluate_only=False):
+        """Evaluate the current policy. Multi-process: every process runs the
+        SAME eval (identical replicated params, identical eval-env seeds, the
+        same loop_key stream), so the metrics agree everywhere without any
+        collective; only process 0 writes artifacts."""
         self.loop_key, k = jax.random.split(self.loop_key)
         avg_r, avg_q, rewards, qs = ev.evaluate(
-            self.cfg, self.agent.params, self.action_space,
+            self.cfg, self._eval_params(), self.action_space,
             lambda num_envs, training: self.make_env(
                 num_envs=num_envs, training=training, seed_offset=1234),
             val_states, k)
@@ -356,16 +445,21 @@ class Trainer:
             self.metrics["steps"].append(self.T)
             self.metrics["rewards"].append(rewards)
             self.metrics["Qs"].append(qs)
-            if avg_r > self.metrics["best_avg_reward"]:
+            best = avg_r > self.metrics["best_avg_reward"]
+            if best:
                 self.metrics["best_avg_reward"] = avg_r
-                ckpt.save_params(os.path.join(self.results_dir, "model.npz"),
-                                 self.agent.params)  # best save, test.py:43-46
-            with open(os.path.join(self.results_dir, "metrics.json"), "w") as f:
-                json.dump(self.metrics, f)
-            plot_line(self.metrics["steps"], self.metrics["rewards"],
-                      "Reward", self.results_dir)
-            plot_line(self.metrics["steps"], self.metrics["Qs"], "Q",
-                      self.results_dir)
+            if self.is_chief:
+                if best:
+                    ckpt.save_params(
+                        os.path.join(self.results_dir, "model.npz"),
+                        self._eval_params())  # best save, test.py:43-46
+                with open(os.path.join(self.results_dir,
+                                       "metrics.json"), "w") as f:
+                    json.dump(self.metrics, f)
+                plot_line(self.metrics["steps"], self.metrics["rewards"],
+                          "Reward", self.results_dir)
+                plot_line(self.metrics["steps"], self.metrics["Qs"], "Q",
+                          self.results_dir)
         return avg_r, avg_q
 
     # ---- main loop ------------------------------------------------------
@@ -376,18 +470,37 @@ class Trainer:
             cfg, lambda num_envs, training: self.make_env(
                 num_envs=num_envs, training=training, seed_offset=4321))
 
-        stack = init_framestack(cfg.num_envs, cfg.history_length,
+        stack = init_framestack(self.envs_local, cfg.history_length,
                                 jnp.asarray(self.env.reset_all()))
-        if self._dist_learn is not None:
+        if self.multi_process:
+            from jax.sharding import PartitionSpec as P
+            from rainbow_tpu.parallel.multihost import globalize, local_rows
+            stack = globalize(self.mesh, np.asarray(stack), P("data"))
+        elif self._dist_learn is not None:
             from rainbow_tpu.parallel.mesh import env_sharded
             stack = jax.device_put(stack, env_sharded(self.mesh))
         self.loop_key, k0 = jax.random.split(self.loop_key)
         actions = ag.act(self.agent.params, cfg, self.action_space,
                          to_network_input(stack), self.agent.noise_key)
-        acts_np = np.asarray(actions)
+        acts_np = (local_rows(actions) if self.multi_process
+                   else np.asarray(actions))
         use_delta = cfg.delta_uploads and hasattr(self.env, "step_delta")
         num_cells = cfg.num_envs * cfg.frame_size * cfg.frame_size
         env_step = self.env.step_delta if use_delta else self.env.step
+
+        def device_update_mp(step_out, a_exec, stack, rep):
+            """Multi-process per-step dispatch: each host's engine outputs
+            become its rows of global env-sharded arrays (one
+            make_array_from_process_local_data per field, ~7KB/env), then the
+            SAME fused actor program runs SPMD — appends and act are
+            row-local, so XLA inserts no collectives."""
+            obs, resets, rewards, dones, kinds = step_out
+            g = lambda x, dt=None: globalize(
+                self.mesh, np.ascontiguousarray(x, dt), P("data"))
+            return actor_step(self.agent.params, self.agent.noise_key, cfg,
+                              self.action_space, stack, rep, a_exec,
+                              g(obs), g(resets), g(rewards, np.float32),
+                              g(dones.astype(bool)), g(kinds))
 
         def device_update(step_out, a_exec, stack, rep, act_args=None):
             """Dispatch the fused per-step device program for one engine
@@ -396,7 +509,11 @@ class Trainer:
             the next actions and (actions, stack, rep) is returned."""
             if use_delta:
                 didx, dval, resets, rewards, dones, kinds = step_out
-                if didx.shape[0] * 5 > num_cells:  # near-dense: delta loses
+                # Dense fallback decided on the PADDED bucket size (5 bytes
+                # per scatter entry), so the delta path never uploads more
+                # than the dense frame and never leaves the bucket table.
+                kp = delta_bucket(didx.shape[0])
+                if kp is None or kp * 5 >= num_cells:
                     obs_form = (jnp.asarray(self.env.last_obs()),)
                     fns = (actor_step_packed, update_step_packed)
                 else:
@@ -415,7 +532,6 @@ class Trainer:
                 return fns[0](act_args[0], act_args[1], cfg,
                               self.action_space, stack, rep, a_exec, *tail)
             return fns[1](cfg, self.action_space, stack, rep, a_exec, *tail)
-        pool = ThreadPoolExecutor(1) if cfg.pipeline_actor else None
         # Depth-D pipeline: seed the queue with D copies of the first action
         # set (a brief startup transient; lag settles to D steps).
         from collections import deque
@@ -427,12 +543,16 @@ class Trainer:
         next_target_sync = nxt(cfg.target_update)
         next_eval = nxt(cfg.evaluation_interval)
         next_ckpt = nxt(cfg.checkpoint_interval)
+        # Replay-bearing saves: either coupled to every eval (reference
+        # main.py:172-174) or on their own decoupled interval.
+        next_memsave = nxt(cfg.memory_save_interval) \
+            if cfg.memory_path is not None else float("inf")
         profiling = False
         import time as _time
         last_log_t, last_log_T = _time.time(), self.T
         while self.T < cfg.total_steps:
             now = _time.time()
-            if now - last_log_t > 60:  # heartbeat: throughput every minute
+            if now - last_log_t > 60 and self.is_chief:  # throughput heartbeat
                 sps = (self.T - last_log_T) / (now - last_log_t)
                 log(f"T = {self.T} | {sps:.0f} env-steps/s | "
                     f"{self.timer.summary()}")
@@ -454,35 +574,42 @@ class Trainer:
                 self.agent = ag.reset_noise(self.agent)  # main.py:150-151
 
             if cfg.pipeline_actor:
-                # Overlap: engine steps on a worker thread while the device
-                # computes future actions; a depth-D queue keeps D action
-                # fetches in flight so fetch RTT amortises over D iterations.
+                # ONE fused async dispatch per iteration (append + stack
+                # update + next-action selection), with a depth-D action
+                # queue: the actions executed now were computed D steps ago,
+                # so their device->host fetch has already completed and the
+                # device programs drain asynchronously behind the engine.
+                # (Round 1 split this into two dispatches — update + act —
+                # which doubled the per-iteration dispatch RTT and made
+                # pipelined-dense SLOWER than serial on the remote chip.)
                 a_exec = action_queue.popleft()
                 self.timer.start("fetch")
                 acts_np = np.asarray(a_exec)
                 self.timer.stop("fetch")
                 self.timer.start("env")
-                fut = pool.submit(env_step, acts_np)
-                a_new = ag.act(self.agent.params, cfg, self.action_space,
-                               to_network_input(stack),
-                               self.agent.noise_key)
-                a_new.copy_to_host_async()
-                action_queue.append(a_new)
-                step_out = fut.result()
+                step_out = env_step(acts_np)
                 self.timer.stop("env")
                 self.timer.start("actor")
-                stack, self.rep = device_update(step_out, a_exec, stack,
-                                                self.rep)
+                a_new, stack, self.rep = device_update(
+                    step_out, a_exec, stack, self.rep,
+                    act_args=(self.agent.params, self.agent.noise_key))
+                a_new.copy_to_host_async()
+                action_queue.append(a_new)
                 self.timer.stop("actor")
             else:
                 self.timer.start("env")
                 step_out = env_step(acts_np)
                 self.timer.stop("env")
                 self.timer.start("actor")
-                actions, stack, self.rep = device_update(
-                    step_out, actions, stack, self.rep,
-                    act_args=(self.agent.params, self.agent.noise_key))
-                acts_np = np.asarray(actions)
+                if self.multi_process:
+                    actions, stack, self.rep = device_update_mp(
+                        step_out, actions, stack, self.rep)
+                    acts_np = local_rows(actions)
+                else:
+                    actions, stack, self.rep = device_update(
+                        step_out, actions, stack, self.rep,
+                        act_args=(self.agent.params, self.agent.noise_key))
+                    acts_np = np.asarray(actions)
                 self.timer.stop("actor")
 
             if learning:
@@ -501,18 +628,24 @@ class Trainer:
 
                 if self.T >= next_eval:  # main.py:166-174
                     avg_r, avg_q = self.evaluate_now(val_states)
-                    log(f"T = {self.T} / {cfg.total_steps} | Avg. reward: "
-                        f"{avg_r} | Avg. Q: {avg_q:.4f} | {self.timer.summary()}")
+                    if self.is_chief:
+                        log(f"T = {self.T} / {cfg.total_steps} | Avg. reward: "
+                            f"{avg_r} | Avg. Q: {avg_q:.4f} | "
+                            f"{self.timer.summary()}")
                     next_eval += cfg.evaluation_interval
-                    if cfg.memory_path is not None:
+                    if (cfg.memory_path is not None
+                            and not cfg.memory_save_interval):
                         self.save_checkpoint("memory_checkpoint.npz",
                                              include_replay=True)
+
+                if self.T >= next_memsave:  # decoupled replay-save cadence
+                    self.save_checkpoint("memory_checkpoint.npz",
+                                         include_replay=True)
+                    next_memsave += cfg.memory_save_interval
 
                 if self.T >= next_ckpt:  # main.py:181-182
                     self.save_checkpoint()
                     next_ckpt += cfg.checkpoint_interval
 
-        if pool is not None:
-            pool.shutdown()
         self.env.close()
         return self.metrics
