@@ -75,10 +75,13 @@ def act(params: dict, cfg: RainbowConfig, action_space: int,
         states: jax.Array, noise_key: Optional[jax.Array]) -> jax.Array:
     """Greedy batched action selection: argmax_a Σ_z z·p (reference
     agent.py:53-55), for all envs in one forward (vs the reference's
-    batch-1 per-step forward)."""
+    batch-1 per-step forward). With cfg.per_env_noise each env row gets an
+    independent noise draw (decorrelated batched exploration — the reference
+    has one env, so shared noise is its exact semantics)."""
     support = support_vector(cfg.v_min, cfg.v_max, cfg.atoms)
-    return jnp.argmax(q_values(params, cfg, action_space, support, states,
-                               noise_key), axis=1)
+    probs = apply_dqn(params, cfg, action_space, states, noise_key,
+                      per_sample_noise=getattr(cfg, "per_env_noise", False))
+    return jnp.argmax((probs * support).sum(axis=2), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space"))

@@ -83,12 +83,14 @@ def _torso(params, cfg, x: jax.Array) -> jax.Array:
 def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
               noise_key: Optional[jax.Array] = None,
               log: bool = False,
-              use_pallas: Optional[bool] = None) -> jax.Array:
+              use_pallas: Optional[bool] = None,
+              per_sample_noise: bool = False) -> jax.Array:
     """Forward pass: (B, 84, 84, history) NHWC float → (B, A, atoms).
 
     Returns atom probabilities (softmax) or log-probabilities (log=True, the
     loss path) — reference model.py:69-80. ``noise_key`` drives all four
     noisy layers (split 4-ways); None = eval/μ-only mode.
+    per_sample_noise: independent noise per batch row (see models/noisy.py).
 
     use_pallas overrides cfg.use_pallas_head (the fused head kernel has no
     VJP, so gradient-path callers pass use_pallas=False).
@@ -98,6 +100,8 @@ def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
     feat = _torso(params, cfg, x)
     if use_pallas is None:
         use_pallas = getattr(cfg, "use_pallas_head", False)
+    if per_sample_noise and noise_key is not None:
+        use_pallas = False  # the fused head draws one shared noise sample
     if use_pallas:
         from rainbow_tpu.ops.pallas_kernels import fused_dueling_head
         return fused_dueling_head(
@@ -108,12 +112,15 @@ def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
         k_hv = k_ha = k_zv = k_za = None
     else:
         k_hv, k_ha, k_zv, k_za = jax.random.split(noise_key, 4)
+    ps = per_sample_noise
     v = noisy_linear(params["fc_z_v"],
-                     jax.nn.relu(noisy_linear(params["fc_h_v"], feat, k_hv)),
-                     k_zv)
+                     jax.nn.relu(noisy_linear(params["fc_h_v"], feat, k_hv,
+                                              per_sample=ps)),
+                     k_zv, per_sample=ps)
     a = noisy_linear(params["fc_z_a"],
-                     jax.nn.relu(noisy_linear(params["fc_h_a"], feat, k_ha)),
-                     k_za)
+                     jax.nn.relu(noisy_linear(params["fc_h_a"], feat, k_ha,
+                                              per_sample=ps)),
+                     k_za, per_sample=ps)
     v = v.reshape(-1, 1, cfg.atoms)
     a = a.reshape(-1, action_space, cfg.atoms)
     q = v + a - a.mean(axis=1, keepdims=True)  # dueling combine, model.py:74-75

@@ -46,19 +46,31 @@ def init_noisy_params(key: jax.Array, in_features: int, out_features: int,
     }
 
 
-def _scale_noise(key: jax.Array, n: int, dtype) -> jax.Array:
+def _scale_noise(key: jax.Array, shape, dtype) -> jax.Array:
     """f(x) = sign(x)·sqrt(|x|) over a standard normal draw (reference model.py:32-34)."""
-    x = jax.random.normal(key, (n,), dtype)
+    if isinstance(shape, int):
+        shape = (shape,)
+    x = jax.random.normal(key, shape, dtype)
     return jnp.sign(x) * jnp.sqrt(jnp.abs(x))
 
 
 def noisy_linear(params: dict, x: jax.Array,
-                 noise_key: Optional[jax.Array]) -> jax.Array:
+                 noise_key: Optional[jax.Array],
+                 per_sample: bool = False) -> jax.Array:
     """Apply a noisy linear layer.
 
     noise_key=None gives the eval path (μ only, reference model.py:45-46);
     otherwise factored noise is drawn from the key (training path,
     reference model.py:42-44).
+
+    per_sample=True draws an INDEPENDENT factored-noise sample per batch row
+    (ε_in, ε_out become (B, in)/(B, out)) — decorrelated exploration across a
+    batched actor's envs. The reference has one env, so its single shared
+    noise sample is the per_sample=False case; at hundreds of envs a shared
+    sample makes every env explore identically (see docs/results_r1).
+    The factored form keeps this free of any per-sample weight matrices:
+    the σ matmul stays a single shared MXU op, with the batch noise applied
+    as elementwise scalings of its input and output.
     """
     dtype = x.dtype
     y = x @ params["w_mu"].astype(dtype).T + params["b_mu"].astype(dtype)
@@ -67,7 +79,8 @@ def noisy_linear(params: dict, x: jax.Array,
     in_features = params["w_mu"].shape[1]
     out_features = params["w_mu"].shape[0]
     k_in, k_out = jax.random.split(noise_key)
-    eps_in = _scale_noise(k_in, in_features, dtype)
-    eps_out = _scale_noise(k_out, out_features, dtype)
+    lead = (x.shape[0],) if per_sample else ()
+    eps_in = _scale_noise(k_in, lead + (in_features,), dtype)
+    eps_out = _scale_noise(k_out, lead + (out_features,), dtype)
     noise = ((x * eps_in) @ params["w_sigma"].astype(dtype).T) * eps_out
     return y + noise + params["b_sigma"].astype(dtype) * eps_out

@@ -63,6 +63,11 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
         # the frame arrays would materialise a padded replay copy per loop.
         def one_learn(carry, k):
             agent, priorities, max_p = carry
+            # Per-update online-noise redraw (reference main.py:150-151).
+            # The fold is deterministic and the agent replicated, so every
+            # device sees the SAME fresh noise — one logical net, exactly the
+            # reference's single-batch semantics over the combined batch.
+            agent = ag.reset_noise(agent)
             shard = rep_shard.replace(priorities=priorities,
                                       max_priority=max_p)
             k_local = jax.random.fold_in(k, me)

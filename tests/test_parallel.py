@@ -99,15 +99,18 @@ def test_distributed_grads_equal_mean_of_local_grads(setup):
                           n_step=cfg.multi_step, discount=cfg.discount)
         batches.append(batch)
     global_max = max(float(b["weights_max"]) for b in batches)
+    # The learner re-draws the online noise before every update
+    # (reference main.py:150-151) — mirror that here.
+    agent_n = ag.reset_noise(agent)
     for batch in batches:
         batch = dict(batch, weights=batch["weights"]
                      * batch["weights_max"] / global_max)
-        g, _, _ = ag.compute_update(agent, cfg, A, batch)
+        g, _, _ = ag.compute_update(agent_n, cfg, A, batch)
         grads_sum = g if grads_sum is None else jax.tree.map(
             jnp.add, grads_sum, g)
     grads_mean = jax.tree.map(lambda x: x / N_DEV, grads_sum)
-    _, rng_expected = (None, jax.random.split(agent.rng)[0])
-    agent_expected = ag.apply_grads(agent, cfg, grads_mean, rng_expected)
+    _, rng_expected = (None, jax.random.split(agent_n.rng)[0])
+    agent_expected = ag.apply_grads(agent_n, cfg, grads_mean, rng_expected)
 
     for a, b in zip(jax.tree_util.tree_leaves(agent_dist.params),
                     jax.tree_util.tree_leaves(agent_expected.params)):
