@@ -50,9 +50,10 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1,
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    from rainbow_tpu.train import (actor_step_delta, actor_step_packed,
-                                    pack_delta, pack_resets,
-                                    update_step_delta, update_step_packed)
+    from rainbow_tpu.train import (_DELTA_BUCKETS, actor_step_delta,
+                                    actor_step_packed, pack_delta,
+                                    pack_resets, update_step_delta,
+                                    update_step_packed)
 
     env = BatchedEnv(game, num_envs, seed=1)
     A = env.action_space
@@ -74,44 +75,60 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1,
     def delta_args(a_np):
         didx, dval, resets, rewards, dones, kinds = env.step_delta(a_np)
         packed, ridx = pack_resets(resets, kinds)
+        if didx is None:  # engine chose the dense fallback
+            return False, ((jnp.asarray(dval), jnp.asarray(packed),
+                            jnp.asarray(ridx), jnp.asarray(rewards),
+                            jnp.asarray(dones.astype(bool)),
+                            jnp.asarray(kinds)))
         pidx, pval = pack_delta(didx, dval, num_cells,
                                 min_bucket=delta_floor[0])
-        delta_floor[0] = max(delta_floor[0], min(2 * didx.shape[0],
-                                                 num_cells // 5))
-        return ((jnp.asarray(pidx), jnp.asarray(pval), jnp.asarray(packed),
-                 jnp.asarray(ridx), jnp.asarray(rewards),
-                 jnp.asarray(dones.astype(bool)), jnp.asarray(kinds)))
+        delta_floor[0] = max(delta_floor[0],
+                             min(2 * didx.shape[0], num_cells // 5,
+                                 _DELTA_BUCKETS[-1]))
+        return True, ((jnp.asarray(pidx), jnp.asarray(pval),
+                       jnp.asarray(packed), jnp.asarray(ridx),
+                       jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
+                       jnp.asarray(kinds)))
 
     def dense_args(a_np):
         obs, resets, rewards, dones, kinds = env.step(a_np)
         packed, ridx = pack_resets(resets, kinds)
-        return ((jnp.asarray(obs), jnp.asarray(packed), jnp.asarray(ridx),
-                 jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
-                 jnp.asarray(kinds)))
+        return False, ((jnp.asarray(obs), jnp.asarray(packed),
+                        jnp.asarray(ridx), jnp.asarray(rewards),
+                        jnp.asarray(dones.astype(bool)), jnp.asarray(kinds)))
 
     step_args = delta_args if delta else dense_args
-    actor_fn = actor_step_delta if delta else actor_step_packed
-    update_fn = update_step_delta if delta else update_step_packed
+
+    def dispatch(is_delta, tail, a_exec, stack, rep):
+        fn = actor_step_delta if is_delta else actor_step_packed
+        return fn(agent.params, agent.noise_key, cfg, A, stack, rep, a_exec,
+                  *tail)
 
     def serial_iter(stack, rep):
         nonlocal actions, acts_np
-        tail = step_args(acts_np)
-        actions, stack, rep = actor_fn(
-            agent.params, agent.noise_key, cfg, A, stack, rep, actions,
-            *tail)
+        is_d, tail = step_args(acts_np)
+        actions, stack, rep = dispatch(is_d, tail, actions, stack, rep)
         acts_np = np.asarray(actions)
         return stack, rep
 
+    # Overlapped pipeline: engine step t+1 runs on the worker thread while
+    # the main thread dispatches the ONE fused program for step t; the
+    # depth-D queue keeps action fetches settled (free).
+    pending = {"a": None, "fut": None}
+
     def pipelined_iter(stack, rep):
-        a_exec = queue.popleft()
-        a_np = np.asarray(a_exec)
-        fut = pool.submit(step_args, a_np)
-        a_new = ag.act(agent.params, cfg, A, to_network_input(stack),
-                       agent.noise_key)
+        if pending["fut"] is None:  # prime
+            pending["a"] = queue.popleft()
+            queue.append(pending["a"])
+            pending["fut"] = pool.submit(step_args, np.asarray(pending["a"]))
+        is_d, tail = pending["fut"].result()
+        a_exec = pending["a"]
+        pending["a"] = queue.popleft()
+        pa_np = np.asarray(pending["a"])  # settled fetch
+        pending["fut"] = pool.submit(step_args, pa_np)
+        a_new, stack, rep = dispatch(is_d, tail, a_exec, stack, rep)
         a_new.copy_to_host_async()
         queue.append(a_new)
-        tail = fut.result()
-        stack, rep = update_fn(cfg, A, stack, rep, a_exec, *tail)
         return stack, rep
 
     one_iter = pipelined_iter if pipeline else serial_iter
@@ -137,23 +154,133 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1,
             tail = (*obs_form, jnp.asarray(packed), jnp.asarray(ridx),
                     jnp.zeros(num_envs), jnp.zeros(num_envs, bool),
                     jnp.asarray(kinds))
-            if pipeline:
-                stack, rep = update_fn(cfg, A, stack, rep,
-                                       jnp.zeros(num_envs, jnp.int32), *tail)
-            else:
-                actions_, stack, rep = actor_fn(
-                    agent.params, agent.noise_key, cfg, A, stack, rep,
-                    jnp.zeros(num_envs, jnp.int32), *tail)
+            actions_, stack, rep = dispatch(
+                delta, tail, jnp.zeros(num_envs, jnp.int32), stack, rep)
     jax.block_until_ready(stack)
     t0 = time.perf_counter()
     for _ in range(iters):
         stack, rep = one_iter(stack, rep)
     jax.block_until_ready(stack)
     dt = time.perf_counter() - t0
+    if pending["fut"] is not None:
+        pending["fut"].result()  # drain the in-flight engine step
     env.close()
     if pool:
         pool.shutdown()
     return num_envs * iters / dt, (agent, rep, A)
+
+
+def bench_decompose(cfg, game, num_envs, iters):
+    """Decomposed actor-throughput ceilings (VERDICT r1 item 1): which term
+    binds — the C++ engine, the host->device upload, the per-dispatch RTT,
+    or the on-chip fused program. Returns a dict of env-steps/s numbers."""
+    import functools
+
+    from rainbow_tpu.ops.preprocess import update_framestack
+    from rainbow_tpu.train import _update_core
+
+    out = {"num_envs": num_envs}
+    A = game_action_space(game)
+    rng = np.random.default_rng(0)
+
+    # --- 1. raw engine throughput, zero device work ----------------------
+    env = BatchedEnv(game, num_envs, seed=3)
+    env.reset_all()
+    acts = rng.integers(0, A, num_envs).astype(np.int32)
+    for _ in range(3):
+        env.step(acts)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        env.step(acts)
+    out["engine_dense"] = num_envs * iters / (time.perf_counter() - t0)
+    for _ in range(2):
+        env.step_delta(acts)
+    t0 = time.perf_counter()
+    total_px = 0
+    for _ in range(iters):
+        didx, _dv, *_rest = env.step_delta(acts)
+        total_px += didx.shape[0]
+    out["engine_delta"] = num_envs * iters / (time.perf_counter() - t0)
+    out["delta_px_per_env"] = total_px / (iters * num_envs)
+    env.close()
+
+    # --- 2. upload: CONSUME-VERIFIED wire rate. block_until_ready on a bare
+    # device_put measures only enqueue/staging on this platform (the r1
+    # "1.6 GB/s" artifact); a program that reads the data then returns a
+    # tiny result measures the actual wire. Fetches use the settled-async
+    # fast path (np.asarray after copy_to_host_async).
+    g = jax.jit(lambda o: o.astype(jnp.float32).sum()[None])
+    obs = rng.integers(0, 255, (num_envs, 84, 84)).astype(np.uint8)
+    s = g(jnp.asarray(obs)); s.copy_to_host_async(); np.asarray(s)
+    n_up = max(8, iters // 4)
+    t0 = time.perf_counter()
+    for i in range(n_up):
+        obs[0, 0, 0] = i  # defeat any caching
+        s = g(jnp.asarray(obs)); s.copy_to_host_async(); np.asarray(s)
+    dt = time.perf_counter() - t0
+    out["upload_dense"] = num_envs * n_up / dt
+    out["upload_MBps"] = num_envs * 7056 * n_up / dt / 1e6
+
+    # --- 3. dispatch round-trip (async-copy fetch, the fast path) --------
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(f(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(x); y.copy_to_host_async(); np.asarray(y)
+    out["dispatch_rtt_ms"] = (time.perf_counter() - t0) / iters * 1e3
+
+    # --- 4. on-chip ceiling: K fused actor steps as ONE scanned program,
+    # observations synthesised on device (no host traffic at all) ---------
+    agent = ag.init_agent(jax.random.key(0), cfg, A)
+    rep = rp.init_replay(num_envs, cfg.capacity_per_env, cfg.frame_size)
+    stack = init_framestack(
+        num_envs, cfg.history_length,
+        jnp.asarray(rng.integers(0, 255, (num_envs, 84, 84), np.uint8)))
+
+    @functools.partial(jax.jit, static_argnames=("k_steps",),
+                       donate_argnames=("stack", "rep"))
+    def synth_rounds(params, noise_key, stack, rep, actions, k_steps):
+        def body(carry, t):
+            stack, rep, actions = carry
+            obs = stack[..., -1] + jnp.uint8(1)  # synthetic next frame
+            zeros = jnp.zeros(stack.shape[0])
+            stack, rep = _update_core(
+                cfg, stack, rep, actions, obs, jnp.zeros_like(obs), zeros,
+                zeros.astype(bool), jnp.zeros(stack.shape[0], jnp.uint8))
+            acts = ag.act(params, cfg, A,
+                          to_network_input(stack),
+                          jax.random.fold_in(noise_key, t))
+            return (stack, rep, acts), None
+        (stack, rep, actions), _ = jax.lax.scan(
+            body, (stack, rep, actions), jnp.arange(k_steps))
+        return stack, rep, actions
+
+    k_steps = 8
+    actions = jnp.zeros((num_envs,), jnp.int32)
+    stack, rep, actions = synth_rounds(agent.params, agent.noise_key, stack,
+                                       rep, actions, k_steps)  # compile
+    jax.block_until_ready(actions)
+    rounds = max(2, iters // k_steps)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        stack, rep, actions = synth_rounds(agent.params, agent.noise_key,
+                                           stack, rep, actions, k_steps)
+    jax.block_until_ready(actions)
+    out["onchip_synthetic"] = (num_envs * rounds * k_steps
+                               / (time.perf_counter() - t0))
+    # Single-step dispatch variant: the same program without the scan, so the
+    # gap to onchip_synthetic isolates per-dispatch overhead.
+    stack, rep, actions = synth_rounds(agent.params, agent.noise_key, stack,
+                                       rep, actions, 1)  # compile k=1
+    jax.block_until_ready(actions)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        stack, rep, actions = synth_rounds(agent.params, agent.noise_key,
+                                           stack, rep, actions, 1)
+    jax.block_until_ready(actions)
+    out["onchip_per_dispatch"] = num_envs * iters / (time.perf_counter() - t0)
+    return out
 
 
 def bench_single_env_reference_style(cfg, game, steps):
@@ -226,6 +353,26 @@ def main():
     num_envs = int(os.environ.get("BENCH_ENVS", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 60))
     game = os.environ.get("BENCH_GAME", "pong")
+    if os.environ.get("BENCH_DECOMPOSE"):
+        cfg = rainbow_tpu.canonical(
+            num_envs=num_envs,
+            memory_capacity=min(num_envs * 1024, 1_000_000), batch_size=32)
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/rainbow_tpu/jax"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
+        info(f"devices: {jax.devices()}")
+        out = bench_decompose(cfg, game, num_envs, iters)
+        for k, v in out.items():
+            info(f"decompose {k}: {v:.1f}" if isinstance(v, float)
+                 else f"decompose {k}: {v}")
+        print(json.dumps({"metric": "decompose", **{
+            k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in out.items()}}))
+        return
     cfg = rainbow_tpu.canonical(
         num_envs=num_envs,
         # canonical 1M total capacity, capped so extreme env counts (the
@@ -234,8 +381,7 @@ def main():
         batch_size=32)
     try:  # persistent compile cache: repeated bench runs skip recompiles
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
+                          os.path.expanduser("~/.cache/rainbow_tpu/jax"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

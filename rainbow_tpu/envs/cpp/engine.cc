@@ -41,9 +41,14 @@ constexpr int kFrame2 = kOutH * kOutW;
 
 // Precomputed bilinear taps for 210x160 -> 84x84 with half-pixel centres
 // (cv2.INTER_LINEAR convention: src = (dst + 0.5) * scale - 0.5).
+// Fixed-point 11-bit weights (cv2's own coefficient precision): integer
+// mul-adds auto-vectorise far better than the float form and stay within
+// the test suite's ±1-grey-level cv2-parity tolerance.
+constexpr int kWBits = 11;        // weight precision
+constexpr int kWOne = 1 << kWBits;
 struct ResizePlan {
-  int y0[kOutH]; float wy[kOutH];
-  int x0[kOutW]; float wx[kOutW];
+  int y0[kOutH]; int32_t wy[kOutH];
+  int x0[kOutW]; int32_t wx[kOutW];
   ResizePlan() {
     const float sy = (float)kScreenH / kOutH, sx = (float)kScreenW / kOutW;
     for (int i = 0; i < kOutH; ++i) {
@@ -51,14 +56,14 @@ struct ResizePlan {
       if (f < 0) f = 0;
       int i0 = (int)f;
       if (i0 > kScreenH - 2) i0 = kScreenH - 2;
-      y0[i] = i0; wy[i] = f - i0;
+      y0[i] = i0; wy[i] = (int32_t)((f - i0) * kWOne + 0.5f);
     }
     for (int j = 0; j < kOutW; ++j) {
       float f = (j + 0.5f) * sx - 0.5f;
       if (f < 0) f = 0;
       int j0 = (int)f;
       if (j0 > kScreenW - 2) j0 = kScreenW - 2;
-      x0[j] = j0; wx[j] = f - j0;
+      x0[j] = j0; wx[j] = (int32_t)((f - j0) * kWOne + 0.5f);
     }
   }
 };
@@ -68,13 +73,16 @@ void resize_bilinear(const uint8_t* src, uint8_t* dst) {
   for (int i = 0; i < kOutH; ++i) {
     const uint8_t* r0 = src + g_plan.y0[i] * kScreenW;
     const uint8_t* r1 = r0 + kScreenW;
-    const float fy = g_plan.wy[i];
+    const int32_t fy = g_plan.wy[i];
     for (int j = 0; j < kOutW; ++j) {
       const int x = g_plan.x0[j];
-      const float fx = g_plan.wx[j];
-      const float top = r0[x] + fx * (r0[x + 1] - r0[x]);
-      const float bot = r1[x] + fx * (r1[x + 1] - r1[x]);
-      dst[i * kOutW + j] = (uint8_t)(top + fy * (bot - top) + 0.5f);
+      const int32_t fx = g_plan.wx[j];
+      // top/bot fit in 19 bits (255 << 11); the blend in 30 — all int32.
+      const int32_t top = (r0[x] << kWBits) + fx * (r0[x + 1] - r0[x]);
+      const int32_t bot = (r1[x] << kWBits) + fx * (r1[x + 1] - r1[x]);
+      dst[i * kOutW + j] = (uint8_t)(
+          (((int64_t)top << kWBits) + (int64_t)fy * (bot - top)
+           + (1 << (2 * kWBits - 1))) >> (2 * kWBits));
     }
   }
 }
@@ -163,9 +171,19 @@ class Engine {
       step_one(e, actions[e], obs, reset_out + (size_t)e * kFrame2,
                rewards + e, dones + e, reset_kinds + e,
                /*update_mirror=*/false);
+      // Word-skip diff: most pixels are unchanged on Atari-like screens, so
+      // compare 8 bytes at a time and only byte-scan differing words.
+      // kFrame2 = 7056 is an exact multiple of 8.
       int c = 0;
-      for (int i = 0; i < kFrame2; ++i)
-        if (obs[i] != mir[i]) di[c++] = (uint16_t)i;
+      for (int w = 0; w < kFrame2; w += 8) {
+        uint64_t a, b;
+        std::memcpy(&a, obs + w, 8);
+        std::memcpy(&b, mir + w, 8);
+        if (a != b) {
+          for (int i = w; i < w + 8; ++i)
+            if (obs[i] != mir[i]) di[c++] = (uint16_t)i;
+        }
+      }
       dcounts_[e] = c;
       std::memcpy(mir, reset_kinds[e] > 0
                            ? reset_out + (size_t)e * kFrame2 : obs, kFrame2);

@@ -19,6 +19,19 @@ _LIB_PATH = os.path.join(_CPP_DIR, "librainbow_env.so")
 GAMES = ("pong", "breakout", "space_invaders", "freeway", "qbert", "boxing")
 FRAME = 84
 
+# Static pad sizes for sparse-delta uploads (bounds jit specialisations).
+DELTA_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1 << 20, 1 << 22)
+
+
+def delta_bucket(k: int):
+    """Smallest static delta bucket >= k, or None when k exceeds the table
+    (callers must use the dense path — an exact-size shape would trigger a
+    fresh jit specialisation per distinct delta size)."""
+    for b in DELTA_BUCKETS:
+        if b >= k:
+            return b
+    return None
+
 
 def _load_lib() -> ctypes.CDLL:
     if not os.path.exists(_LIB_PATH):
@@ -108,13 +121,18 @@ class BatchedEnv:
             raise ValueError(f"unknown game {game!r}; have {GAMES}")
         self.action_space = self._lib.renv_num_actions(self._h)
         self.set_training(training)
-        # Preallocated output buffers (written in-place by C++).
-        self._obs = np.empty((num_envs, FRAME, FRAME), np.uint8)
-        self._reset_frames = np.zeros((num_envs, FRAME, FRAME), np.uint8)
-        self._rewards = np.empty((num_envs,), np.float32)
-        self._dones = np.empty((num_envs,), np.uint8)
-        self._kinds = np.empty((num_envs,), np.uint8)
-        self._didx = None  # delta-mode buffers, allocated on first use
+        # DOUBLE-BUFFERED output arrays (written in-place by C++), flipped
+        # every step: the previous step's outputs stay valid while the next
+        # engine step runs on a worker thread (the overlapped actor pipeline
+        # stages the upload of step t while the engine computes t+1).
+        mk = lambda: (np.empty((num_envs, FRAME, FRAME), np.uint8),
+                      np.zeros((num_envs, FRAME, FRAME), np.uint8),
+                      np.empty((num_envs,), np.float32),
+                      np.empty((num_envs,), np.uint8),
+                      np.empty((num_envs,), np.uint8))
+        self._bufs = (mk(), mk())
+        self._flip = 0
+        self._ddbl = None  # delta-mode buffers, allocated on first use
 
     def set_training(self, training: bool) -> None:
         """Life-loss terminals on/off (reference env.py:80-85)."""
@@ -129,10 +147,11 @@ class BatchedEnv:
     def step(self, actions: np.ndarray):
         actions = np.ascontiguousarray(actions, np.int32)
         assert actions.shape == (self.num_envs,)
-        self._lib.renv_step(self._h, actions, self._obs, self._reset_frames,
-                            self._rewards, self._dones, self._kinds)
-        return (self._obs, self._reset_frames, self._rewards, self._dones,
-                self._kinds)
+        obs, resets, rewards, dones, kinds = self._bufs[self._flip]
+        self._flip ^= 1
+        self._lib.renv_step(self._h, actions, obs, resets, rewards, dones,
+                            kinds)
+        return (obs, resets, rewards, dones, kinds)
 
     def step_delta(self, actions: np.ndarray):
         """step() with the observations encoded as a sparse delta against the
@@ -141,26 +160,34 @@ class BatchedEnv:
         reset_frames, rewards, dones, reset_kinds) where delta_idx int32 is
         sorted unique flat indices into the (N*84*84) frame block and
         delta_val uint8 the new pixel values. obs[i] = prev_newest[i] except
-        at delta_idx. Cuts the host->device payload to the changed pixels."""
+        at delta_idx. Cuts the host->device payload to the changed pixels.
+
+        Near-dense fallback (decided HERE, synchronously, so overlapped
+        pipelines never reach back into single-buffered engine staging):
+        when the delta's padded bucket would cost >= the dense frame
+        (5 bytes/entry) or exceeds the bucket table, returns
+        (None, obs_dense, resets, ...) with obs_dense the full uint8
+        (N, 84, 84) observations."""
         actions = np.ascontiguousarray(actions, np.int32)
         assert actions.shape == (self.num_envs,)
-        if self._didx is None:
+        if self._ddbl is None:
             n = self.num_envs * FRAME * FRAME
-            self._didx = np.empty((n,), np.int32)
-            self._dval = np.empty((n,), np.uint8)
+            self._ddbl = tuple((np.empty((n,), np.int32),
+                                np.empty((n,), np.uint8)) for _ in range(2))
             self._dtotal = np.zeros((1,), np.int64)
-        self._lib.renv_step_delta(self._h, actions, self._didx, self._dval,
-                                  self._dtotal, self._reset_frames,
-                                  self._rewards, self._dones, self._kinds)
+        didx, dval = self._ddbl[self._flip]
+        obs, resets, rewards, dones, kinds = self._bufs[self._flip]
+        self._flip ^= 1
+        self._lib.renv_step_delta(self._h, actions, didx, dval,
+                                  self._dtotal, resets, rewards, dones,
+                                  kinds)
         t = int(self._dtotal[0])
-        return (self._didx[:t], self._dval[:t], self._reset_frames,
-                self._rewards, self._dones, self._kinds)
-
-    def last_obs(self) -> np.ndarray:
-        """Dense observations of the last step_delta call (fallback path for
-        near-dense deltas). Writes into the reusable obs buffer."""
-        self._lib.renv_copy_obs(self._h, self._obs)
-        return self._obs
+        num_cells = self.num_envs * FRAME * FRAME
+        kp = delta_bucket(t)
+        if kp is None or kp * 5 >= num_cells:
+            self._lib.renv_copy_obs(self._h, obs)
+            return (None, obs, resets, rewards, dones, kinds)
+        return (didx[:t], dval[:t], resets, rewards, dones, kinds)
 
     def close(self) -> None:
         if getattr(self, "_h", None):

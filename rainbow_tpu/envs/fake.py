@@ -38,8 +38,13 @@ class FakeAtariEnv:
         self.life_every = life_every
         self.training = training
         self._step = np.zeros(num_envs, np.int64)  # within-episode agent step
-        self._obs = np.empty((num_envs, FRAME, FRAME), np.uint8)
-        self._reset_frames = np.zeros((num_envs, FRAME, FRAME), np.uint8)
+        # Double-buffered outputs, flipped per step — same contract as the
+        # native engine: the previous step's arrays stay valid while the
+        # overlapped pipeline runs the next step on a worker thread.
+        self._bufs = tuple((np.empty((num_envs, FRAME, FRAME), np.uint8),
+                            np.zeros((num_envs, FRAME, FRAME), np.uint8))
+                           for _ in range(2))
+        self._flip = 0
 
     def set_training(self, training: bool) -> None:
         self.training = training
@@ -58,6 +63,8 @@ class FakeAtariEnv:
 
     def step(self, actions: np.ndarray):
         n = self.num_envs
+        obs, reset_frames = self._bufs[self._flip]
+        self._flip ^= 1
         rewards = np.zeros(n, np.float32)
         dones = np.zeros(n, np.uint8)
         kinds = np.zeros(n, np.uint8)
@@ -65,19 +72,19 @@ class FakeAtariEnv:
             t = self._step[e]
             rewards[e] = 1.0 if actions[e] == t % self.action_space else 0.0
             nxt = t + 1
-            self._obs[e] = self._frame(e, nxt)
+            obs[e] = self._frame(e, nxt)
             if nxt >= self.episode_len:  # true game over
                 dones[e], kinds[e] = 1, 2
                 self._step[e] = 0
-                self._reset_frames[e] = self._frame(e, 0)
+                reset_frames[e] = self._frame(e, 0)
             elif (self.training and self.life_every
                   and nxt % self.life_every == 0):  # life loss
                 dones[e], kinds[e] = 1, 1
                 self._step[e] = nxt + 1  # the single no-op consumed a step
-                self._reset_frames[e] = self._frame(e, nxt + 1)
+                reset_frames[e] = self._frame(e, nxt + 1)
             else:
                 self._step[e] = nxt
-        return self._obs, self._reset_frames, rewards, dones, kinds
+        return obs, reset_frames, rewards, dones, kinds
 
     def close(self) -> None:
         pass

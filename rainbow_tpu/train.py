@@ -150,17 +150,10 @@ def update_step_packed(cfg: RainbowConfig, action_space: int, stack,
                        reset_frames, rewards, dones, kinds)
 
 
-_DELTA_BUCKETS = (1024, 4096, 16384, 65536, 262144, 1 << 20, 1 << 22)
-
-
-def delta_bucket(k: int):
-    """Smallest static delta bucket ≥ k, or None if k exceeds the table
-    (callers must fall back to the dense path — an exact-size shape would
-    trigger a fresh jit specialisation per distinct delta size)."""
-    for b in _DELTA_BUCKETS:
-        if b >= k:
-            return b
-    return None
+# Bucket table lives with the engine (envs/engine.py) so step_delta can make
+# the dense-fallback decision itself; re-exported here for packers and tests.
+from rainbow_tpu.envs.engine import DELTA_BUCKETS as _DELTA_BUCKETS  # noqa: E402
+from rainbow_tpu.envs.engine import delta_bucket  # noqa: E402,F401
 
 
 def pack_delta(didx: np.ndarray, dval: np.ndarray, num_cells: int,
@@ -509,12 +502,8 @@ class Trainer:
             the next actions and (actions, stack, rep) is returned."""
             if use_delta:
                 didx, dval, resets, rewards, dones, kinds = step_out
-                # Dense fallback decided on the PADDED bucket size (5 bytes
-                # per scatter entry), so the delta path never uploads more
-                # than the dense frame and never leaves the bucket table.
-                kp = delta_bucket(didx.shape[0])
-                if kp is None or kp * 5 >= num_cells:
-                    obs_form = (jnp.asarray(self.env.last_obs()),)
+                if didx is None:  # engine chose the dense fallback
+                    obs_form = (jnp.asarray(dval),)
                     fns = (actor_step_packed, update_step_packed)
                 else:
                     pidx, pval = pack_delta(didx, dval, num_cells)
@@ -536,6 +525,17 @@ class Trainer:
         # set (a brief startup transient; lag settles to D steps).
         from collections import deque
         action_queue = deque([actions] * max(cfg.pipeline_depth, 1))
+        pool = fut = None
+        if cfg.pipeline_actor:
+            # Overlapped pipeline: the engine computes step t+1 on a worker
+            # thread while the main thread stages step t's upload and issues
+            # the single fused async device dispatch. The engine's output
+            # buffers are double-buffered (envs/engine.py) so step t's
+            # arrays stay valid while t+1 writes.
+            pool = ThreadPoolExecutor(1)
+            pending_a = action_queue.popleft()
+            action_queue.append(pending_a)  # keep queue depth D
+            fut = pool.submit(env_step, np.asarray(pending_a))
         it = 0
         # Schedule marks relative to the current T (exact after resume).
         nxt = lambda interval: ((self.T // interval) + 1) * interval \
@@ -575,20 +575,24 @@ class Trainer:
 
             if cfg.pipeline_actor:
                 # ONE fused async dispatch per iteration (append + stack
-                # update + next-action selection), with a depth-D action
-                # queue: the actions executed now were computed D steps ago,
-                # so their device->host fetch has already completed and the
-                # device programs drain asynchronously behind the engine.
-                # (Round 1 split this into two dispatches — update + act —
-                # which doubled the per-iteration dispatch RTT and made
-                # pipelined-dense SLOWER than serial on the remote chip.)
-                a_exec = action_queue.popleft()
-                self.timer.start("fetch")
-                acts_np = np.asarray(a_exec)
-                self.timer.stop("fetch")
+                # update + next-action selection), engine overlapped: while
+                # the device program for step t drains asynchronously and
+                # its upload is staged, the worker thread runs engine step
+                # t+1. The depth-D action queue means the actions executing
+                # now were computed D steps ago — their device->host copy
+                # has settled, so the fetch is free. (Round 1 split this
+                # into two dispatches — update + act — which doubled the
+                # per-iteration dispatch RTT and made pipelined-dense SLOWER
+                # than serial on the remote chip.)
                 self.timer.start("env")
-                step_out = env_step(acts_np)
+                step_out = fut.result()  # engine output for step t
                 self.timer.stop("env")
+                a_exec = pending_a
+                pending_a = action_queue.popleft()
+                self.timer.start("fetch")
+                pa_np = np.asarray(pending_a)  # settled: free
+                self.timer.stop("fetch")
+                fut = pool.submit(env_step, pa_np)  # engine step t+1
                 self.timer.start("actor")
                 a_new, stack, self.rep = device_update(
                     step_out, a_exec, stack, self.rep,
@@ -647,5 +651,9 @@ class Trainer:
                     self.save_checkpoint()
                     next_ckpt += cfg.checkpoint_interval
 
+        if fut is not None:
+            fut.result()  # drain the in-flight engine step before close
+        if pool is not None:
+            pool.shutdown()
         self.env.close()
         return self.metrics

@@ -40,10 +40,13 @@ def test_step_delta_reconstructs_dense_exactly(game):
         np.testing.assert_array_equal(rew_d, rew_s)
         np.testing.assert_array_equal(done_d, done_s)
         np.testing.assert_array_equal(kind_d, kind_s)
-        # reconstruct obs from the delta
-        flat = mirror.reshape(-1)
-        assert np.all(np.diff(didx) > 0)  # sorted, unique
-        flat[didx] = dval
+        if didx is None:  # engine-side near-dense fallback: dval = dense obs
+            mirror[:] = dval.reshape(n, -1)
+        else:
+            # reconstruct obs from the delta
+            flat = mirror.reshape(-1)
+            assert np.all(np.diff(didx) > 0)  # sorted, unique
+            flat[didx] = dval
         np.testing.assert_array_equal(obs_d.reshape(n, -1), mirror)
         for e in range(n):
             if kind_s[e] > 0:
@@ -83,19 +86,48 @@ def test_mixing_dense_and_delta_steps():
     twin.close()
 
 
-def test_last_obs_matches_reconstruction():
-    n = 4
-    env = BatchedEnv("breakout", n, seed=5)
+def test_dense_fallback_matches_twin(monkeypatch):
+    """When the engine chooses the near-dense fallback (didx=None), dval must
+    be the exact dense observations of a twin stepped densely, and
+    subsequent delta steps must stay consistent (the C++ mirror is kept
+    current either way). Forced by patching the bucket fit."""
+    import rainbow_tpu.envs.engine as eng
+    n = 2
+    env = BatchedEnv("space_invaders", n, seed=5)
+    twin = BatchedEnv("space_invaders", n, seed=5)
     mirror = env.reset_all().reshape(n, -1).copy()
-    acts = np.zeros(n, np.int32)
-    for _ in range(10):
+    twin.reset_all()
+    rng = np.random.default_rng(4)
+    real_bucket = eng.delta_bucket
+    for i in range(30):
+        force_dense = (i % 5 == 2)
+        monkeypatch.setattr(eng, "delta_bucket",
+                            (lambda k: None) if force_dense else real_bucket)
+        acts = rng.integers(0, env.action_space, n).astype(np.int32)
+        obs_t, reset_t, *_r, kind_t = (x.copy() for x in twin.step(acts))
         didx, dval, reset, _, _, kinds = env.step_delta(acts)
-        mirror.reshape(-1)[didx] = dval
-        np.testing.assert_array_equal(env.last_obs().reshape(n, -1), mirror)
+        if didx is None:
+            assert force_dense
+            mirror[:] = dval.reshape(n, -1)
+        else:
+            mirror.reshape(-1)[didx] = dval
+        np.testing.assert_array_equal(obs_t.reshape(n, -1), mirror)
         for e in range(n):
             if kinds[e] > 0:
                 mirror[e] = reset[e].reshape(-1)
     env.close()
+    twin.close()
+
+
+def test_delta_bucket_rule():
+    """The dense-fallback decision is bucket-based (padded size), not raw
+    count: a delta just over a bucket boundary must not upload more than the
+    dense frame (ADVICE r1)."""
+    from rainbow_tpu.envs.engine import delta_bucket
+    assert delta_bucket(0) == 1024
+    assert delta_bucket(1024) == 1024
+    assert delta_bucket(1025) == 4096
+    assert delta_bucket((1 << 22) + 1) is None  # beyond the table -> dense
 
 
 def test_pack_delta_padding_stays_sorted():
