@@ -73,19 +73,20 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1,
     delta_floor = [0]
 
     def delta_args(a_np):
-        didx, dval, resets, rewards, dones, kinds = env.step_delta(a_np)
+        counts, dpos, dval, resets, rewards, dones, kinds = \
+            env.step_delta(a_np)
         packed, ridx = pack_resets(resets, kinds)
-        if didx is None:  # engine chose the dense fallback
-            return False, ((jnp.asarray(dval), jnp.asarray(packed),
+        if counts is None:  # engine chose the dense fallback
+            return False, ((jnp.asarray(dpos), jnp.asarray(packed),
                             jnp.asarray(ridx), jnp.asarray(rewards),
                             jnp.asarray(dones.astype(bool)),
                             jnp.asarray(kinds)))
-        pidx, pval = pack_delta(didx, dval, num_cells,
-                                min_bucket=delta_floor[0])
+        ppos, pval = pack_delta(dpos, dval, min_bucket=delta_floor[0])
         delta_floor[0] = max(delta_floor[0],
-                             min(2 * didx.shape[0], num_cells // 5,
+                             min(2 * dpos.shape[0], num_cells // 3,
                                  _DELTA_BUCKETS[-1]))
-        return True, ((jnp.asarray(pidx), jnp.asarray(pval),
+        return True, ((jnp.asarray(counts), jnp.asarray(ppos),
+                       jnp.asarray(pval),
                        jnp.asarray(packed), jnp.asarray(ridx),
                        jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
                        jnp.asarray(kinds)))
@@ -145,10 +146,11 @@ def bench_batched(cfg, game, num_envs, iters, pipeline=False, depth=1,
             resets = np.zeros((num_envs, 84, 84), np.uint8)
             packed, ridx = pack_resets(resets, kinds)
             if delta:
-                pidx, pval = pack_delta(
-                    np.zeros((0,), np.int32), np.zeros((0,), np.uint8),
-                    num_cells, min_bucket=delta_floor[0])
-                obs_form = (jnp.asarray(pidx), jnp.asarray(pval))
+                ppos, pval = pack_delta(
+                    np.zeros((0,), np.uint16), np.zeros((0,), np.uint8),
+                    min_bucket=delta_floor[0])
+                obs_form = (jnp.zeros(num_envs, jnp.int32),
+                            jnp.asarray(ppos), jnp.asarray(pval))
             else:
                 obs_form = (jnp.zeros((num_envs, 84, 84), jnp.uint8),)
             tail = (*obs_form, jnp.asarray(packed), jnp.asarray(ridx),
@@ -405,7 +407,7 @@ def main():
         info(f"batched actor (serial): {batched_sps:.0f} env-steps/s "
              f"@ {num_envs} envs")
         del state  # free the multi-GB replay before the next allocation
-    depth = int(os.environ.get("BENCH_DEPTH", 2))
+    depth = int(os.environ.get("BENCH_DEPTH", 3))
     piped_sps, state = bench_batched(cfg, game, num_envs, iters,
                                      pipeline=True, depth=depth)
     info(f"batched actor (pipelined, depth {depth}): {piped_sps:.0f} "

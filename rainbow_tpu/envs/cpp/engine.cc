@@ -145,14 +145,15 @@ class Engine {
   }
 
   // step() variant returning the observations as a sparse delta against the
-  // device's frame-stack newest slot (which the engine mirrors): compacted,
-  // globally sorted flat indices into the (N*84*84) frame block plus the new
-  // pixel values. The device reconstructs obs with one sorted unique scatter
-  // — cutting the per-step host->device payload to the pixels that actually
-  // changed (typically 3-12% on Atari-like screens).
-  void step_delta(const int32_t* actions, int32_t* didx, uint8_t* dval,
-                  int64_t* total, uint8_t* reset_out, float* rewards,
-                  uint8_t* dones, uint8_t* reset_kinds) {
+  // device's frame-stack newest slot (which the engine mirrors): per-env
+  // changed-pixel counts + compacted WITHIN-ENV uint16 positions + values
+  // (3 bytes/pixel on the wire vs 5 for global int32 indices — the upload
+  // link is the binding term for busy screens). The device rebuilds global
+  // indices with a jnp.repeat segment expansion and applies one sorted
+  // unique scatter.
+  void step_delta(const int32_t* actions, int32_t* counts, uint16_t* dpos,
+                  uint8_t* dval, int64_t* total, uint8_t* reset_out,
+                  float* rewards, uint8_t* dones, uint8_t* reset_kinds) {
     if (obs_scratch_.empty()) {
       obs_scratch_.resize((size_t)n_envs_ * kFrame2);
       didx16_.resize((size_t)n_envs_ * kFrame2);
@@ -189,19 +190,18 @@ class Engine {
                            ? reset_out + (size_t)e * kFrame2 : obs, kFrame2);
     });
     // Phase 2: prefix-sum the counts (n_envs adds, negligible).
-    for (int e = 0; e < n_envs_; ++e)
+    for (int e = 0; e < n_envs_; ++e) {
+      counts[e] = dcounts_[e];
       doffsets_[e + 1] = doffsets_[e] + dcounts_[e];
-    // Phase 3: parallel compaction into the caller's flat buffers, per-env
-    // positions rebased to global flat indices (still globally sorted).
+    }
+    // Phase 3: parallel compaction into the caller's flat buffers — per-env
+    // uint16 positions and values, globally ordered by (env, position).
     parallel_for([&](int e) {
       const int64_t base = doffsets_[e];
       const uint16_t* di = didx16_.data() + (size_t)e * kFrame2;
       const uint8_t* obs = obs_scratch_.data() + (size_t)e * kFrame2;
-      const int32_t eoff = e * kFrame2;
-      for (int k = 0; k < dcounts_[e]; ++k) {
-        didx[base + k] = eoff + di[k];
-        dval[base + k] = obs[di[k]];
-      }
+      std::memcpy(dpos + base, di, dcounts_[e] * sizeof(uint16_t));
+      for (int k = 0; k < dcounts_[e]; ++k) dval[base + k] = obs[di[k]];
     });
     *total = doffsets_[n_envs_];
   }
@@ -464,14 +464,16 @@ void renv_step(void* h, const int32_t* actions, uint8_t* obs,
                                          dones, reset_kinds);
 }
 
-// Sparse-delta step: didx/dval must each hold n_envs*84*84 entries (worst
-// case); *total receives the number of valid entries.
-void renv_step_delta(void* h, const int32_t* actions, int32_t* didx,
-                     uint8_t* dval, int64_t* total, uint8_t* reset_frames,
-                     float* rewards, uint8_t* dones, uint8_t* reset_kinds) {
-  static_cast<rainbow::Engine*>(h)->step_delta(actions, didx, dval, total,
-                                               reset_frames, rewards, dones,
-                                               reset_kinds);
+// Sparse-delta step: counts holds n_envs int32; dpos/dval must each hold
+// n_envs*84*84 entries (worst case); *total receives the number of valid
+// entries.
+void renv_step_delta(void* h, const int32_t* actions, int32_t* counts,
+                     uint16_t* dpos, uint8_t* dval, int64_t* total,
+                     uint8_t* reset_frames, float* rewards, uint8_t* dones,
+                     uint8_t* reset_kinds) {
+  static_cast<rainbow::Engine*>(h)->step_delta(actions, counts, dpos, dval,
+                                               total, reset_frames, rewards,
+                                               dones, reset_kinds);
 }
 
 void renv_copy_obs(void* h, uint8_t* out) {

@@ -52,8 +52,9 @@ def _load_lib() -> ctypes.CDLL:
     lib.renv_resize.argtypes = [u8p, u8p]
     lib.renv_step.argtypes = [ctypes.c_void_p, i32p, u8p, u8p, f32p, u8p, u8p]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    lib.renv_step_delta.argtypes = [ctypes.c_void_p, i32p, i32p, u8p, i64p,
-                                    u8p, f32p, u8p, u8p]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.renv_step_delta.argtypes = [ctypes.c_void_p, i32p, i32p, u16p, u8p,
+                                    i64p, u8p, f32p, u8p, u8p]
     lib.renv_copy_obs.argtypes = [ctypes.c_void_p, u8p]
     lib.renv_game_probe.argtypes = [ctypes.c_char_p, ctypes.c_uint64, i32p,
                                     ctypes.c_int, u8p]
@@ -156,38 +157,41 @@ class BatchedEnv:
     def step_delta(self, actions: np.ndarray):
         """step() with the observations encoded as a sparse delta against the
         previous device-newest frame (the engine mirrors the device's
-        frame-stack newest slot): returns (delta_idx, delta_val,
-        reset_frames, rewards, dones, reset_kinds) where delta_idx int32 is
-        sorted unique flat indices into the (N*84*84) frame block and
-        delta_val uint8 the new pixel values. obs[i] = prev_newest[i] except
-        at delta_idx. Cuts the host->device payload to the changed pixels.
+        frame-stack newest slot): returns (counts, pos, val, reset_frames,
+        rewards, dones, reset_kinds) — counts int32 (N,) changed pixels per
+        env, pos uint16 the within-env flat positions (compacted, ordered by
+        (env, position)), val uint8 the new pixel values. 3 bytes/pixel on
+        the wire. obs[e] = prev_newest[e] except at pos. The device rebuilds
+        global indices with a segment expansion over counts and applies one
+        sorted unique scatter (train._apply_delta).
 
         Near-dense fallback (decided HERE, synchronously, so overlapped
         pipelines never reach back into single-buffered engine staging):
         when the delta's padded bucket would cost >= the dense frame
-        (5 bytes/entry) or exceeds the bucket table, returns
-        (None, obs_dense, resets, ...) with obs_dense the full uint8
+        (3 bytes/entry) or exceeds the bucket table, returns
+        (None, obs_dense, None, resets, ...) with obs_dense the full uint8
         (N, 84, 84) observations."""
         actions = np.ascontiguousarray(actions, np.int32)
         assert actions.shape == (self.num_envs,)
         if self._ddbl is None:
             n = self.num_envs * FRAME * FRAME
-            self._ddbl = tuple((np.empty((n,), np.int32),
+            self._ddbl = tuple((np.empty((self.num_envs,), np.int32),
+                                np.empty((n,), np.uint16),
                                 np.empty((n,), np.uint8)) for _ in range(2))
             self._dtotal = np.zeros((1,), np.int64)
-        didx, dval = self._ddbl[self._flip]
+        counts, dpos, dval = self._ddbl[self._flip]
         obs, resets, rewards, dones, kinds = self._bufs[self._flip]
         self._flip ^= 1
-        self._lib.renv_step_delta(self._h, actions, didx, dval,
+        self._lib.renv_step_delta(self._h, actions, counts, dpos, dval,
                                   self._dtotal, resets, rewards, dones,
                                   kinds)
         t = int(self._dtotal[0])
         num_cells = self.num_envs * FRAME * FRAME
         kp = delta_bucket(t)
-        if kp is None or kp * 5 >= num_cells:
+        if kp is None or kp * 3 >= num_cells:
             self._lib.renv_copy_obs(self._h, obs)
-            return (None, obs, resets, rewards, dones, kinds)
-        return (didx[:t], dval[:t], resets, rewards, dones, kinds)
+            return (None, obs, None, resets, rewards, dones, kinds)
+        return (counts, dpos[:t], dval[:t], resets, rewards, dones, kinds)
 
     def close(self) -> None:
         if getattr(self, "_h", None):

@@ -7,9 +7,12 @@ Trains every requested game with a shared preset and writes a summary table
 Run:  python -m rainbow_tpu.sweep --preset data-efficient --T-max 100000
       [--games pong breakout ...]
 
-Multi-host sharding note: each process trains its slice of the game list
-(round-robin by process index) — launch one process per host with
-JAX_PROCESS_INDEX/COUNT-style env configuration and a shared results dir.
+Game-list sharding note (--shard-index/--shard-count): each launched process
+trains its round-robin slice of the game list against its own chip — trivially
+parallel across hosts with a shared results dir. For a SINGLE training run
+spanning multiple hosts, use the cli's --coordinator/--process-id/
+--process-count jax.distributed bring-up instead (train.py multi-process
+branch).
 """
 from __future__ import annotations
 
@@ -26,19 +29,19 @@ from rainbow_tpu.utils.logging import log
 def run_sweep(argv=None) -> dict:
     parser = build_parser()
     parser.add_argument("--games", nargs="*", default=list(GAMES))
-    parser.add_argument("--process-index", type=int,
+    parser.add_argument("--shard-index", type=int,
                         default=int(os.environ.get("RAINBOW_PROC_INDEX", 0)))
-    parser.add_argument("--process-count", type=int,
+    parser.add_argument("--shard-count", type=int,
                         default=int(os.environ.get("RAINBOW_PROC_COUNT", 1)))
     args = parser.parse_args(argv)
     cfg = cfg_mod.PRESETS[args.preset]()
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and hasattr(cfg, k)
-                 and k not in ("games", "process_index", "process_count")}
+                 and k not in ("games", "shard_index", "shard_count")}
     cfg = cfg.replace(**overrides)
 
     my_games: List[str] = [g for i, g in enumerate(args.games)
-                           if i % args.process_count == args.process_index]
+                           if i % args.shard_count == args.shard_index]
     results = {}
     from rainbow_tpu.train import Trainer
     for game in my_games:
@@ -57,7 +60,7 @@ def run_sweep(argv=None) -> dict:
 
     out_dir = os.path.join(cfg.results_dir, cfg.run_id)
     os.makedirs(out_dir, exist_ok=True)
-    suffix = (f".p{args.process_index}" if args.process_count > 1 else "")
+    suffix = (f".p{args.shard_index}" if args.shard_count > 1 else "")
     with open(os.path.join(out_dir, f"sweep{suffix}.json"), "w") as f:
         json.dump(results, f, indent=2)
     lines = ["| game | best avg reward | final avg reward | evals |",

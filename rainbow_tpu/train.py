@@ -156,33 +156,42 @@ from rainbow_tpu.envs.engine import DELTA_BUCKETS as _DELTA_BUCKETS  # noqa: E40
 from rainbow_tpu.envs.engine import delta_bucket  # noqa: E402,F401
 
 
-def pack_delta(didx: np.ndarray, dval: np.ndarray, num_cells: int,
+def pack_delta(dpos: np.ndarray, dval: np.ndarray,
                min_bucket: int = 0):
-    """Pad a sparse frame delta (engine.step_delta) to the smallest static
-    bucket so jit specialisations stay bounded. Pads with strictly increasing
-    out-of-bounds indices (num_cells, num_cells+1, ...) — dropped by the
-    device scatter — so the padded index stream stays both sorted AND unique
-    (the device scatter asserts both). ``min_bucket`` pins a floor (callers
-    that want one stable specialisation pass their observed typical size)."""
-    k = didx.shape[0]
+    """Pad a sparse frame delta (engine.step_delta's uint16 positions +
+    uint8 values) to the smallest static bucket so jit specialisations stay
+    bounded; pad entries are masked out on device by the counts sum.
+    ``min_bucket`` pins a floor (callers that want one stable specialisation
+    pass their observed typical size)."""
+    k = dpos.shape[0]
     kp = delta_bucket(max(k, min_bucket))
     assert kp is not None, "delta exceeds bucket table; use the dense path"
-    out_idx = np.arange(num_cells, num_cells + kp, dtype=np.int32)
-    out_idx[:k] = didx
+    out_pos = np.zeros((kp,), np.uint16)
+    out_pos[:k] = dpos
     out_val = np.zeros((kp,), np.uint8)
     out_val[:k] = dval
-    return out_idx, out_val
+    return out_pos, out_val
 
 
-def _apply_delta(stack, delta_idx, delta_val):
+def _apply_delta(stack, counts, pos, val):
     """Reconstruct the step observations from the sparse delta against the
-    frame stack's newest slot: one sorted-unique scatter over the flat
-    (N*84*84) uint8 block."""
+    frame stack's newest slot. Global flat indices are rebuilt from the
+    per-env counts by a segment expansion (env_id = repeat(arange, counts)),
+    then ONE sorted-unique scatter over the flat (N*84*84) uint8 block; pad
+    entries (beyond the counts sum) are rewritten to strictly increasing
+    out-of-bounds indices, preserving sorted+unique, and dropped."""
     n, f = stack.shape[0], stack.shape[1]
+    num_cells = n * f * f
+    kp = pos.shape[0]
+    env_ids = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
+                         total_repeat_length=kp)
+    idx = env_ids * (f * f) + pos.astype(jnp.int32)
+    ar = jnp.arange(kp, dtype=jnp.int32)
+    idx = jnp.where(ar < counts.sum(), idx, num_cells + ar)
     prev = stack[..., -1].reshape(-1)
-    obs = prev.at[delta_idx].set(delta_val, mode="drop",
-                                 indices_are_sorted=True,
-                                 unique_indices=True)
+    obs = prev.at[idx].set(val, mode="drop",
+                           indices_are_sorted=True,
+                           unique_indices=True)
     return obs.reshape(n, f, f)
 
 
@@ -190,11 +199,11 @@ def _apply_delta(stack, delta_idx, delta_val):
                    donate_argnames=("stack", "rep"))
 def actor_step_delta(params, noise_key, cfg: RainbowConfig,
                      action_space: int, stack, rep: rp.ReplayState,
-                     prev_actions, delta_idx, delta_val, reset_packed,
-                     reset_idx, rewards, dones, kinds):
+                     prev_actions, delta_counts, delta_pos, delta_val,
+                     reset_packed, reset_idx, rewards, dones, kinds):
     """actor_step with sparse-delta observations (see engine.step_delta) and
     packed reset frames."""
-    obs = _apply_delta(stack, delta_idx, delta_val)
+    obs = _apply_delta(stack, delta_counts, delta_pos, delta_val)
     reset_frames = jnp.zeros_like(obs).at[reset_idx].set(
         reset_packed, mode="drop")
     stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
@@ -207,11 +216,11 @@ def actor_step_delta(params, noise_key, cfg: RainbowConfig,
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
                    donate_argnames=("stack", "rep"))
 def update_step_delta(cfg: RainbowConfig, action_space: int, stack,
-                      rep: rp.ReplayState, prev_actions, delta_idx,
-                      delta_val, reset_packed, reset_idx, rewards, dones,
-                      kinds):
+                      rep: rp.ReplayState, prev_actions, delta_counts,
+                      delta_pos, delta_val, reset_packed, reset_idx,
+                      rewards, dones, kinds):
     """update_step with sparse-delta observations (pipelined mode)."""
-    obs = _apply_delta(stack, delta_idx, delta_val)
+    obs = _apply_delta(stack, delta_counts, delta_pos, delta_val)
     reset_frames = jnp.zeros_like(obs).at[reset_idx].set(
         reset_packed, mode="drop")
     return _update_core(cfg, stack, rep, prev_actions, obs, reset_frames,
@@ -292,6 +301,19 @@ class Trainer:
                 raise ValueError("pipeline_actor/delta_uploads are "
                                  "single-process modes")
         self.envs_local = cfg.num_envs // self.num_procs
+        # Ring-capacity guard: each env's ring must hold at least one full
+        # (-history+1 .. +n) sample window beyond the write-head exclusion
+        # zone, or the masked sampler has zero valid mass (the 4096-env
+        # regime shrinks capacity_per_env to 244 at the canonical 1M total —
+        # ample; this guards pathological num_envs/memory_capacity combos).
+        min_cap = 2 * (cfg.history_length + cfg.multi_step) + 2
+        if cfg.capacity_per_env < min_cap:
+            raise ValueError(
+                f"capacity_per_env={cfg.capacity_per_env} "
+                f"(memory_capacity {cfg.memory_capacity} / num_envs "
+                f"{cfg.num_envs}) is below the minimum {min_cap} for "
+                f"history={cfg.history_length}, n={cfg.multi_step}; raise "
+                f"memory_capacity or lower num_envs")
         self.env = self.make_env(num_envs=self.envs_local, training=True,
                                  seed_offset=self.proc_id * 7919)
         self.action_space = self.env.action_space
@@ -478,7 +500,6 @@ class Trainer:
         acts_np = (local_rows(actions) if self.multi_process
                    else np.asarray(actions))
         use_delta = cfg.delta_uploads and hasattr(self.env, "step_delta")
-        num_cells = cfg.num_envs * cfg.frame_size * cfg.frame_size
         env_step = self.env.step_delta if use_delta else self.env.step
 
         def device_update_mp(step_out, a_exec, stack, rep):
@@ -501,13 +522,14 @@ class Trainer:
             With act_args=(params, noise_key) the fused program also selects
             the next actions and (actions, stack, rep) is returned."""
             if use_delta:
-                didx, dval, resets, rewards, dones, kinds = step_out
-                if didx is None:  # engine chose the dense fallback
-                    obs_form = (jnp.asarray(dval),)
+                counts, dpos, dval, resets, rewards, dones, kinds = step_out
+                if counts is None:  # engine chose the dense fallback
+                    obs_form = (jnp.asarray(dpos),)
                     fns = (actor_step_packed, update_step_packed)
                 else:
-                    pidx, pval = pack_delta(didx, dval, num_cells)
-                    obs_form = (jnp.asarray(pidx), jnp.asarray(pval))
+                    ppos, pval = pack_delta(dpos, dval)
+                    obs_form = (jnp.asarray(counts), jnp.asarray(ppos),
+                                jnp.asarray(pval))
                     fns = (actor_step_delta, update_step_delta)
             else:
                 obs, resets, rewards, dones, kinds = step_out

@@ -18,6 +18,14 @@ from rainbow_tpu.train import (actor_step_delta, actor_step_packed,
                                pack_delta, pack_resets)
 
 
+def apply_delta_np(mirror, counts, pos, val):
+    """Numpy re-derivation of the device-side segment-expansion scatter."""
+    n = mirror.shape[0]
+    offs = np.repeat(np.arange(n, dtype=np.int64) * (FRAME * FRAME),
+                     counts.astype(np.int64))
+    mirror.reshape(-1)[offs + pos.astype(np.int64)] = val
+
+
 @pytest.mark.parametrize("game", ["breakout", "qbert"])
 def test_step_delta_reconstructs_dense_exactly(game):
     """Twin engines (same seed, same actions): the delta stream applied to a
@@ -36,17 +44,23 @@ def test_step_delta_reconstructs_dense_exactly(game):
         acts = rng.integers(0, dense.action_space, n).astype(np.int32)
         obs_d, reset_d, rew_d, done_d, kind_d = (x.copy() for x in
                                                  dense.step(acts))
-        didx, dval, reset_s, rew_s, done_s, kind_s = sparse.step_delta(acts)
+        counts, pos, val, reset_s, rew_s, done_s, kind_s = \
+            sparse.step_delta(acts)
         np.testing.assert_array_equal(rew_d, rew_s)
         np.testing.assert_array_equal(done_d, done_s)
         np.testing.assert_array_equal(kind_d, kind_s)
-        if didx is None:  # engine-side near-dense fallback: dval = dense obs
-            mirror[:] = dval.reshape(n, -1)
+        if counts is None:  # engine-side near-dense fallback: pos = dense obs
+            mirror[:] = pos.reshape(n, -1)
         else:
-            # reconstruct obs from the delta
-            flat = mirror.reshape(-1)
-            assert np.all(np.diff(didx) > 0)  # sorted, unique
-            flat[didx] = dval
+            assert int(counts.sum()) == pos.shape[0] == val.shape[0]
+            # within each env the positions are strictly increasing
+            off = 0
+            for e in range(n):
+                c = int(counts[e])
+                if c > 1:
+                    assert np.all(np.diff(pos[off:off + c].astype(int)) > 0)
+                off += c
+            apply_delta_np(mirror, counts, pos, val)
         np.testing.assert_array_equal(obs_d.reshape(n, -1), mirror)
         for e in range(n):
             if kind_s[e] > 0:
@@ -75,9 +89,8 @@ def test_mixing_dense_and_delta_steps():
             np.testing.assert_array_equal(obs, obs_t)
             mirror = obs.reshape(n, -1).copy()
         else:
-            didx, dval, reset, _, _, kinds = env.step_delta(acts)
-            flat = mirror.reshape(-1)
-            flat[didx] = dval
+            counts, pos, val, reset, _, _, kinds = env.step_delta(acts)
+            apply_delta_np(mirror, counts, pos, val)
             np.testing.assert_array_equal(obs_t.reshape(n, -1), mirror)
         for e in range(n):
             if kinds[e] > 0:
@@ -105,12 +118,12 @@ def test_dense_fallback_matches_twin(monkeypatch):
                             (lambda k: None) if force_dense else real_bucket)
         acts = rng.integers(0, env.action_space, n).astype(np.int32)
         obs_t, reset_t, *_r, kind_t = (x.copy() for x in twin.step(acts))
-        didx, dval, reset, _, _, kinds = env.step_delta(acts)
-        if didx is None:
+        counts, pos, val, reset, _, _, kinds = env.step_delta(acts)
+        if counts is None:
             assert force_dense
-            mirror[:] = dval.reshape(n, -1)
+            mirror[:] = pos.reshape(n, -1)
         else:
-            mirror.reshape(-1)[didx] = dval
+            apply_delta_np(mirror, counts, pos, val)
         np.testing.assert_array_equal(obs_t.reshape(n, -1), mirror)
         for e in range(n):
             if kinds[e] > 0:
@@ -130,18 +143,25 @@ def test_delta_bucket_rule():
     assert delta_bucket((1 << 22) + 1) is None  # beyond the table -> dense
 
 
-def test_pack_delta_padding_stays_sorted():
-    didx = np.array([3, 17, 900], np.int32)
-    dval = np.array([1, 2, 3], np.uint8)
-    pidx, pval = pack_delta(didx, dval, num_cells=1000)
-    assert pidx.shape == pval.shape == (1024,)
-    np.testing.assert_array_equal(pidx[:3], didx)
-    assert np.all(pidx[3:] >= 1000)  # out-of-bounds pad: dropped by scatter
-    np.testing.assert_array_equal(pval[:3], dval)
-    assert np.all(pval[3:] == 0)
-    # The scatter asserts indices_are_sorted AND unique_indices — the padded
-    # stream must satisfy both (strictly increasing).
-    assert np.all(np.diff(pidx.astype(np.int64)) > 0)
+def test_apply_delta_pad_indices_sorted_unique():
+    """The device reconstruction rewrites pad entries (beyond the counts
+    sum) to strictly increasing out-of-bounds indices — the scatter asserts
+    indices_are_sorted AND unique_indices, so verify against numpy."""
+    import jax
+    from rainbow_tpu.train import _apply_delta
+    n = 3
+    stack = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (n, FRAME, FRAME, 4),
+                                          np.uint8))
+    counts = np.array([2, 0, 1], np.int32)
+    pos = np.array([5, 9, 4], np.uint16)
+    val = np.array([11, 22, 33], np.uint8)
+    ppos, pval = pack_delta(pos, val)
+    out = np.asarray(_apply_delta(stack, jnp.asarray(counts),
+                                  jnp.asarray(ppos), jnp.asarray(pval)))
+    want = np.asarray(stack[..., -1]).copy()
+    apply_delta_np(want, counts, pos, val)
+    np.testing.assert_array_equal(out, want)
 
 
 def test_actor_step_delta_equals_dense_actor_step():
@@ -159,23 +179,27 @@ def test_actor_step_delta_equals_dense_actor_step():
 
     prev = np.asarray(stack0[..., -1]).reshape(-1)
     obs = prev.reshape(n, FRAME * FRAME).copy()
-    # sparse change: a few pixels per env
-    didx_list, dval_list = [], []
+    # sparse change: a few pixels per env (env 1 deliberately unchanged —
+    # counts may be zero)
+    counts = np.zeros(n, np.int32)
+    pos_list, val_list = [], []
     for e in range(n):
-        pos = np.sort(rng.choice(FRAME * FRAME, size=37, replace=False))
-        vals = rng.integers(0, 255, 37).astype(np.uint8)
+        k = 0 if e == 1 else 37
+        pos = np.sort(rng.choice(FRAME * FRAME, size=k, replace=False))
+        vals = rng.integers(0, 255, k).astype(np.uint8)
         obs[e, pos] = vals
-        didx_list.append(e * FRAME * FRAME + pos)
-        dval_list.append(vals)
-    didx = np.concatenate(didx_list).astype(np.int32)
-    dval = np.concatenate(dval_list)
+        counts[e] = k
+        pos_list.append(pos.astype(np.uint16))
+        val_list.append(vals)
+    dpos = np.concatenate(pos_list)
+    dval = np.concatenate(val_list)
     obs = obs.reshape(n, FRAME, FRAME)
 
     kinds = np.array([0, 0, 1, 2], np.uint8)
     resets = rng.integers(0, 255, (n, FRAME, FRAME), np.uint8)
     resets[kinds == 0] = 0
     packed, ridx = pack_resets(resets, kinds)
-    pidx, pval = pack_delta(didx, dval, n * FRAME * FRAME)
+    ppos, pval = pack_delta(dpos, dval)
     rewards = jnp.asarray(rng.normal(size=n).astype(np.float32))
     dones = jnp.asarray(kinds > 0)
     a0 = jnp.zeros(n, jnp.int32)
@@ -191,8 +215,9 @@ def test_actor_step_delta_equals_dense_actor_step():
         jnp.asarray(kinds))
     s2, r2 = fresh()
     act_delta, stack_delta, rep_delta = actor_step_delta(
-        agent.params, agent.noise_key, cfg, A, s2, r2, a0, jnp.asarray(pidx),
-        jnp.asarray(pval), jnp.asarray(packed), jnp.asarray(ridx), rewards,
+        agent.params, agent.noise_key, cfg, A, s2, r2, a0,
+        jnp.asarray(counts), jnp.asarray(ppos), jnp.asarray(pval),
+        jnp.asarray(packed), jnp.asarray(ridx), rewards,
         dones, jnp.asarray(kinds))
 
     np.testing.assert_array_equal(np.asarray(act_dense),

@@ -181,3 +181,44 @@ def test_all_states_blanking():
     s5 = states[5]
     assert s5[..., 0].max() == 0.0
     assert s5[..., 1:].min() >= 0 and s5[..., 3].max() > 0
+
+
+def test_tight_ring_capacity_regime():
+    """The 4096-env stress regime (canonical 1M total capacity -> 244
+    transitions per env) with the data-efficient n=20 window: sampling must
+    only ever return indices outside the write-head exclusion zone, with
+    positive weights, through several full ring wraps."""
+    E, C, H, N = 4, 61, 4, 20  # C ~ scaled-down 244-regime, > 2*(H+N)+2
+    rep = rp.init_replay(E, C)
+    key = jax.random.key(0)
+    rng = np.random.default_rng(3)
+    for t in range(3 * C):  # wrap the ring three times
+        rep = rp.append(
+            rep, jnp.full((E, 84, 84), t % 251, jnp.uint8),
+            jnp.zeros(E, jnp.int32),
+            jnp.asarray(rng.normal(size=E).astype(np.float32)),
+            jnp.asarray(rng.random(E) < 0.05))
+        if t > 2 * (H + N) and t % 17 == 0:
+            key, k = jax.random.split(key)
+            batch = rp.sample(rep, k, jnp.float32(0.5), batch_size=16,
+                              history=H, n_step=N, discount=0.99)
+            idxs = np.asarray(batch["idxs"])
+            i = idxs % C
+            index = int(rep.index)
+            ahead = (index - i) % C
+            behind = (i - index) % C
+            assert np.all(ahead > N), (t, i, index)
+            assert np.all(behind >= H), (t, i, index)
+            assert np.all(np.asarray(batch["weights"]) > 0), t
+            assert np.isfinite(np.asarray(batch["returns"])).all()
+
+
+def test_trainer_rejects_pathological_capacity():
+    import pytest
+    import rainbow_tpu
+    from rainbow_tpu.train import Trainer
+    cfg = rainbow_tpu.data_efficient(
+        num_envs=64, memory_capacity=64 * 16, multi_step=20,
+        env_backend="fake")  # 16/env < 2*(4+20)+2
+    with pytest.raises(ValueError, match="capacity_per_env"):
+        Trainer(cfg)
