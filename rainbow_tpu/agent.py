@@ -64,10 +64,19 @@ def init_agent(key: jax.Array, cfg: RainbowConfig,
     )
 
 
+# Jitted key helpers. Eager `fold_in`/`split` decompose into dozens of
+# individually-dispatched primitives; on a remote-dispatch backend (axon
+# tunnel) that costs 100-500 ms per call vs ~0.1 ms for the single compiled
+# program — measured 558 ms/iteration in the round-2 training loop before
+# this change. Always route per-iteration key math through these.
+_fold1 = jax.jit(lambda k: jax.random.fold_in(k, 1))
+split2 = jax.jit(lambda k: tuple(jax.random.split(k)))
+
+
 def reset_noise(state: AgentState) -> AgentState:
     """Draw a new set of noisy weights (reference agent.py:49-50) by
     advancing the noise key."""
-    return state.replace(noise_key=jax.random.fold_in(state.noise_key, 1))
+    return state.replace(noise_key=_fold1(state.noise_key))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space"))
@@ -184,6 +193,10 @@ def learn_step(agent: AgentState, rep: replay.ReplayState,
     return agent, rep, losses.mean()
 
 
+_copy_tree = jax.jit(lambda p: jax.tree.map(jnp.copy, p))
+
+
 def update_target(agent: AgentState) -> AgentState:
-    """Hard target sync (reference agent.py:102-103)."""
-    return agent.replace(target_params=jax.tree.map(jnp.copy, agent.params))
+    """Hard target sync (reference agent.py:102-103). One compiled dispatch
+    rather than an eager per-leaf copy chain (see the key-helper note above)."""
+    return agent.replace(target_params=_copy_tree(agent.params))

@@ -9,6 +9,7 @@ a few batched forwards. Metric semantics are identical.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -53,6 +54,21 @@ def build_validation_states(cfg: RainbowConfig, make_env) -> jax.Array:
     return states[:cfg.evaluation_size]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"))
+def _eval_act(params, cfg: RainbowConfig, action_space: int, stack,
+              key: jax.Array):
+    """One fused dispatch per eval step: key advance + ε-greedy act.
+    Keeps the eval loop free of eager per-primitive dispatches (each costs
+    ~tunnel-RTT on remote backends — see agent.py key-helper note)."""
+    key, k = jax.random.split(key)
+    actions = ag.act_e_greedy(params, cfg, action_space,
+                              to_network_input(stack), k, cfg.eval_epsilon)
+    return actions, key
+
+
+_eval_update = jax.jit(update_framestack)
+
+
 def run_episodes(cfg: RainbowConfig, params, action_space: int, make_env,
                  key: jax.Array, num_episodes: int,
                  render_dir: str = "") -> List[float]:
@@ -69,16 +85,12 @@ def run_episodes(cfg: RainbowConfig, params, action_space: int, make_env,
     max_iters = (cfg.max_episode_length or 10 ** 9) // 4 + 100
     it = 0
     while not finished.all() and it < max_iters:
-        key, k = jax.random.split(key)
-        actions = ag.act_e_greedy(params, cfg, action_space,
-                                  to_network_input(stack), k,
-                                  cfg.eval_epsilon)
+        actions, key = _eval_act(params, cfg, action_space, stack, key)
         obs, resets, rewards, dones, kinds = env.step(np.asarray(actions))
         totals += np.where(finished, 0.0, rewards)
         finished |= dones.astype(bool)
-        stack = update_framestack(stack, jnp.asarray(obs),
-                                  jnp.asarray(resets),
-                                  jnp.asarray(kinds))
+        stack = _eval_update(stack, jnp.asarray(obs), jnp.asarray(resets),
+                             jnp.asarray(kinds))
         if render_dir and not finished[0]:
             _save_frame(render_dir, it, obs[0])
         it += 1

@@ -227,6 +227,79 @@ def update_step_delta(cfg: RainbowConfig, action_space: int, stack,
                         rewards, dones, kinds)
 
 
+def _train_iter_core(cfg: RainbowConfig, action_space: int, num_learns: int,
+                     agent: ag.AgentState, stack, rep: rp.ReplayState,
+                     loop_key, prev_actions, obs, reset_frames, rewards,
+                     dones, kinds, beta, sync_target):
+    """ONE device program for a full training iteration: transition append +
+    frame-stack advance + online-noise redraw + next-action selection +
+    ``num_learns`` scanned C51 updates + (masked) hard target sync.
+
+    Why one program: the round-2 profile showed that splitting the iteration
+    into separate actor/learner dispatches costs 150-350 ms/iteration on the
+    remote-dispatch backend — the learner's donated replay buffers are
+    outputs of the still-pending actor program, and resolving that
+    cross-program aliasing stalls the dispatch pipeline. Fused, every donated
+    input is an output of the PREVIOUS iteration's same program, which
+    chains at full device speed (measured 1.6 ms per 64-update round).
+    num_learns=0 compiles the warmup specialisation (no learner, no noise
+    advance — reference main.py:160 gates all of it on T >= learn_start)."""
+    stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
+                              reset_frames, rewards, dones, kinds)
+    loss = jnp.zeros(())
+    if num_learns:
+        # Online-noise redraw once per learn cadence (reference
+        # main.py:150-151); the scanned round redraws again per update.
+        agent = ag.reset_noise(agent)
+    actions = ag.act(agent.params, cfg, action_space,
+                     to_network_input(stack), agent.noise_key)
+    if num_learns:
+        loop_key, k = jax.random.split(loop_key)
+        rep_ro = rep.replace(priorities=jnp.zeros((0,)),
+                             max_priority=jnp.zeros(()))
+        agent, priorities, max_priority, loss = _learner_round_impl(
+            agent, rep_ro, rep.priorities, rep.max_priority, cfg,
+            action_space, num_learns, beta, k)
+        rep = rep.replace(priorities=priorities, max_priority=max_priority)
+        # Hard target sync (reference main.py:177-178) as a masked select so
+        # the sync needs no separate dispatch.
+        agent = agent.replace(target_params=jax.tree.map(
+            lambda p, t: jnp.where(sync_target, p, t),
+            agent.params, agent.target_params))
+    return actions, agent, stack, rep, loop_key, loss
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "action_space", "num_learns"),
+                   donate_argnames=("agent", "stack", "rep", "loop_key"))
+def train_iter_packed(cfg: RainbowConfig, action_space: int, num_learns: int,
+                      agent, stack, rep, loop_key, prev_actions, obs,
+                      reset_packed, reset_idx, rewards, dones, kinds, beta,
+                      sync_target):
+    """Fused train iteration, dense observations + packed reset frames."""
+    reset_frames = jnp.zeros_like(obs).at[reset_idx].set(
+        reset_packed, mode="drop")
+    return _train_iter_core(cfg, action_space, num_learns, agent, stack, rep,
+                            loop_key, prev_actions, obs, reset_frames,
+                            rewards, dones, kinds, beta, sync_target)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "action_space", "num_learns"),
+                   donate_argnames=("agent", "stack", "rep", "loop_key"))
+def train_iter_delta(cfg: RainbowConfig, action_space: int, num_learns: int,
+                     agent, stack, rep, loop_key, prev_actions, delta_counts,
+                     delta_pos, delta_val, reset_packed, reset_idx, rewards,
+                     dones, kinds, beta, sync_target):
+    """Fused train iteration, sparse-delta observations + packed resets."""
+    obs = _apply_delta(stack, delta_counts, delta_pos, delta_val)
+    reset_frames = jnp.zeros_like(obs).at[reset_idx].set(
+        reset_packed, mode="drop")
+    return _train_iter_core(cfg, action_space, num_learns, agent, stack, rep,
+                            loop_key, prev_actions, obs, reset_frames,
+                            rewards, dones, kinds, beta, sync_target)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space",
                                              "num_learns"),
                    donate_argnames=("agent", "priorities", "max_priority"))
@@ -278,6 +351,18 @@ class Trainer:
                  devices: Optional[list] = None):
         self.cfg = cfg
         self._devices = devices  # explicit device subset for the DP mesh
+        # Persistent compilation cache: any entry point (cli, sweep, tests,
+        # probes) skips recompiles of previously-seen specialisations —
+        # significant where compiles are remote (tens of seconds each).
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("RAINBOW_JAX_CACHE",
+                               os.path.expanduser("~/.cache/rainbow_tpu/jax")))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
         self.make_env = make_env or make_env_factory(cfg)
         self.results_dir = os.path.join(cfg.results_dir, cfg.run_id)
         self.proc_id = jax.process_index()
@@ -374,12 +459,14 @@ class Trainer:
                 jnp.zeros((cfg.num_envs, 1, 1, 1)))
 
     def _run_learner_round(self, beta, key):
+        # np.float32 (not jnp.float32): the jnp form is an eager device op
+        # per call; a numpy scalar is uploaded at dispatch for free.
         if self._dist_learn is not None:
             return self._dist_learn(self.agent, self.rep,
-                                    jnp.float32(beta), key)
+                                    np.float32(beta), key)
         return learner_round(self.agent, self.rep, self.cfg,
                              self.action_space, self.learns_per_iter,
-                             jnp.float32(beta), key)
+                             np.float32(beta), key)
 
     def _eval_params(self):
         """Params usable in plain (single-process) jit computations: the
@@ -450,7 +537,7 @@ class Trainer:
         SAME eval (identical replicated params, identical eval-env seeds, the
         same loop_key stream), so the metrics agree everywhere without any
         collective; only process 0 writes artifacts."""
-        self.loop_key, k = jax.random.split(self.loop_key)
+        self.loop_key, k = ag.split2(self.loop_key)
         avg_r, avg_q, rewards, qs = ev.evaluate(
             self.cfg, self._eval_params(), self.action_space,
             lambda num_envs, training: self.make_env(
@@ -494,7 +581,7 @@ class Trainer:
         elif self._dist_learn is not None:
             from rainbow_tpu.parallel.mesh import env_sharded
             stack = jax.device_put(stack, env_sharded(self.mesh))
-        self.loop_key, k0 = jax.random.split(self.loop_key)
+        self.loop_key, k0 = ag.split2(self.loop_key)
         actions = ag.act(self.agent.params, cfg, self.action_space,
                          to_network_input(stack), self.agent.noise_key)
         acts_np = (local_rows(actions) if self.multi_process
@@ -543,6 +630,60 @@ class Trainer:
                 return fns[0](act_args[0], act_args[1], cfg,
                               self.action_space, stack, rep, a_exec, *tail)
             return fns[1](cfg, self.action_space, stack, rep, a_exec, *tail)
+
+        # Fused single-process fast path: the whole iteration (append +
+        # noise redraw + act + learner round + target sync) is ONE device
+        # program (train_iter_*). Separate actor/learner dispatches stall
+        # the remote dispatch pipeline resolving cross-program donation of
+        # the replay buffers (150-350 ms/iteration measured); fused, each
+        # iteration chains on the previous one at device speed.
+        fused = not self.multi_process and self._dist_learn is None
+        num_cells = self.envs_local * cfg.frame_size * cfg.frame_size
+        self._delta_floor = 0
+
+        def stage_args(a_np):
+            """Engine step + host packing + device staging for one
+            iteration. In pipelined mode this runs on the worker thread,
+            overlapping the next engine step AND its uploads against the
+            main thread's dispatch of the current one (bench.py measured
+            the same structure at 68k env-steps/s on this link)."""
+            if use_delta:
+                counts, dpos, dval, resets, rewards, dones, kinds = \
+                    env_step(a_np)
+                packed, ridx = pack_resets(resets, kinds)
+                if counts is None:  # engine chose the dense fallback
+                    is_delta, obs_form = False, (jnp.asarray(dpos),)
+                else:
+                    # Pin one bucket specialisation: floor at 2x the largest
+                    # delta seen so iterations keep hitting one precompiled
+                    # program instead of flapping across bucket sizes (each
+                    # first-seen bucket costs a full remote compile).
+                    ppos, pval = pack_delta(dpos, dval,
+                                            min_bucket=self._delta_floor)
+                    self._delta_floor = max(
+                        self._delta_floor,
+                        min(2 * dpos.shape[0], num_cells // 3,
+                            _DELTA_BUCKETS[-1]))
+                    is_delta = True
+                    obs_form = (jnp.asarray(counts), jnp.asarray(ppos),
+                                jnp.asarray(pval))
+            else:
+                obs, resets, rewards, dones, kinds = env_step(a_np)
+                packed, ridx = pack_resets(resets, kinds)
+                is_delta, obs_form = False, (jnp.asarray(obs),)
+            return is_delta, (*obs_form, jnp.asarray(packed),
+                              jnp.asarray(ridx), jnp.asarray(rewards),
+                              jnp.asarray(dones.astype(bool)),
+                              jnp.asarray(kinds))
+
+        def fused_dispatch(is_delta, tail, a_exec, stack, num_learns, beta,
+                           sync_target):
+            fn = train_iter_delta if is_delta else train_iter_packed
+            actions, self.agent, stack, self.rep, self.loop_key, _ = fn(
+                cfg, self.action_space, num_learns, self.agent, stack,
+                self.rep, self.loop_key, a_exec, *tail, np.float32(beta),
+                np.bool_(sync_target))
+            return actions, stack
         # Depth-D pipeline: seed the queue with D copies of the first action
         # set (a brief startup transient; lag settles to D steps).
         from collections import deque
@@ -557,7 +698,8 @@ class Trainer:
             pool = ThreadPoolExecutor(1)
             pending_a = action_queue.popleft()
             action_queue.append(pending_a)  # keep queue depth D
-            fut = pool.submit(env_step, np.asarray(pending_a))
+            fut = pool.submit(stage_args if fused else env_step,
+                              np.asarray(pending_a))
         it = 0
         # Schedule marks relative to the current T (exact after resume).
         nxt = lambda interval: ((self.T // interval) + 1) * interval \
@@ -586,16 +728,49 @@ class Trainer:
                         os.path.join(self.results_dir, "trace"))
                     profiling = True
                 elif it == 40 and profiling:
-                    jax.block_until_ready(actions)
+                    jax.block_until_ready(stack)
                     jax.profiler.stop_trace()
                     profiling = False
                     log(f"Profiler trace written to {self.results_dir}/trace")
             self.T += cfg.num_envs
             learning = self.T >= cfg.learn_start
-            if learning and it % self.iters_per_learn == 0:
+            do_learn = learning and it % self.iters_per_learn == 0
+            if fused:
+                num_learns = self.learns_per_iter if do_learn else 0
+                beta = min(1.0, cfg.priority_weight
+                           + (self.T - cfg.learn_start) * self.beta_rate) \
+                    if learning else 0.0
+                sync_target = do_learn and self.T >= next_target_sync
+            elif do_learn:
                 self.agent = ag.reset_noise(self.agent)  # main.py:150-151
 
-            if cfg.pipeline_actor:
+            if fused and cfg.pipeline_actor:
+                self.timer.start("env")
+                is_delta, tail = fut.result()  # staged step t
+                self.timer.stop("env")
+                a_exec = pending_a
+                pending_a = action_queue.popleft()
+                self.timer.start("fetch")
+                pa_np = np.asarray(pending_a)  # settled: free
+                self.timer.stop("fetch")
+                fut = pool.submit(stage_args, pa_np)  # engine step t+1
+                self.timer.start("actor")
+                a_new, stack = fused_dispatch(is_delta, tail, a_exec, stack,
+                                              num_learns, beta, sync_target)
+                a_new.copy_to_host_async()
+                action_queue.append(a_new)
+                self.timer.stop("actor")
+            elif fused:
+                self.timer.start("env")
+                is_delta, tail = stage_args(acts_np)
+                self.timer.stop("env")
+                self.timer.start("actor")
+                actions, stack = fused_dispatch(is_delta, tail, actions,
+                                                stack, num_learns, beta,
+                                                sync_target)
+                acts_np = np.asarray(actions)
+                self.timer.stop("actor")
+            elif cfg.pipeline_actor:
                 # ONE fused async dispatch per iteration (append + stack
                 # update + next-action selection), engine overlapped: while
                 # the device program for step t drains asynchronously and
@@ -639,17 +814,21 @@ class Trainer:
                 self.timer.stop("actor")
 
             if learning:
-                beta = min(1.0, cfg.priority_weight
-                           + (self.T - cfg.learn_start) * self.beta_rate)
-                if it % self.iters_per_learn == 0:
-                    self.timer.start("learn")
-                    self.loop_key, k = jax.random.split(self.loop_key)
-                    self.agent, self.rep, loss = self._run_learner_round(
-                        beta, k)
-                    self.timer.stop("learn")
+                if not fused:
+                    beta = min(1.0, cfg.priority_weight
+                               + (self.T - cfg.learn_start) * self.beta_rate)
+                    if do_learn:
+                        self.timer.start("learn")
+                        self.loop_key, k = ag.split2(self.loop_key)
+                        self.agent, self.rep, loss = self._run_learner_round(
+                            beta, k)
+                        self.timer.stop("learn")
 
                 if self.T >= next_target_sync:  # main.py:177-178
-                    self.agent = ag.update_target(self.agent)
+                    if fused and sync_target:
+                        pass  # synced inside the fused program this iteration
+                    else:
+                        self.agent = ag.update_target(self.agent)
                     next_target_sync += cfg.target_update
 
                 if self.T >= next_eval:  # main.py:166-174
