@@ -756,6 +756,7 @@ Game* make_game(const char* name) {
   if (g == "freeway") return new Freeway();
   if (g == "qbert") return new Qbert();
   if (g == "boxing") return new Boxing();
+  if (Game* game = make_game2(name)) return game;  // catalogue batch 2
   // Fall through to the real ALE (dlopen'd) for any other game name when a
   // libale + ROM directory are configured (see ale_backend.cc).
   return make_ale_game(name);

@@ -60,6 +60,7 @@ struct Canvas {
 };
 
 Game* make_game(const char* name);
+Game* make_game2(const char* name);     // games2.cc (catalogue batch 2)
 Game* make_ale_game(const char* name);  // ale_backend.cc (dlopen'd real ALE)
 int ale_backend_available();
 

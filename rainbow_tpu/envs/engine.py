@@ -16,7 +16,9 @@ import numpy as np
 _CPP_DIR = os.path.join(os.path.dirname(__file__), "cpp")
 _LIB_PATH = os.path.join(_CPP_DIR, "librainbow_env.so")
 
-GAMES = ("pong", "breakout", "space_invaders", "freeway", "qbert", "boxing")
+GAMES = ("pong", "breakout", "space_invaders", "freeway", "qbert", "boxing",
+         "ms_pacman", "asteroids", "seaquest", "kangaroo", "crazy_climber",
+         "frostbite", "demon_attack", "gopher")
 FRAME = 84
 
 # Static pad sizes for sparse-delta uploads (bounds jit specialisations).
