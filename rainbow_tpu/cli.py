@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--per-env-noise", action="store_true", default=None,
                    help="independent NoisyNet draw per env at act time "
                         "(decorrelated batched exploration)")
+    p.add_argument("--async-eval", action="store_true", default=None,
+                   help="run evaluations on a background thread against a "
+                        "params snapshot (keeps eval off the training loop's "
+                        "critical path)")
     p.add_argument("--profile", action="store_true", default=None,
                    help="capture a jax.profiler trace of the training loop")
     # Multi-host bring-up (jax.distributed): launch one process per host with
@@ -115,12 +119,17 @@ def main(argv=None):
     # Persistent compilation cache: repeated runs (and checkpoint-resume
     # segments) skip recompiles — significant where compiles are remote.
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/rainbow_tpu/jax"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    if (jax.config.jax_compilation_cache_dir is None
+            and "JAX_COMPILATION_CACHE_DIR" not in os.environ):
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("RAINBOW_JAX_CACHE",
+                               os.path.expanduser("~/.cache/rainbow_tpu/jax")))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception as e:
+            log(f"compilation cache setup failed: {e!r}")
     # Echo options (reference main.py:63-65).
     print(" " * 26 + "Options")
     for k, v in sorted(vars(cfg).items()):

@@ -90,6 +90,13 @@ class RainbowConfig:
     # psum-mean gradients (parallel/learner.py). Requires num_envs and
     # batch_size divisible by the device count.
 
+    async_eval: bool = False           # run evaluations on a background
+    # thread against a snapshot of the params instead of blocking the
+    # training loop (the reference evaluates inline, main.py:166-169; at
+    # batched-actor throughputs an inline eval stalls training for minutes).
+    # Metrics/plots/best-model saves land when the eval finishes, tagged
+    # with the step T the snapshot was taken at.
+
     # Observability
     render: bool = False               # save eval-episode frames as PNGs
     # (headless analogue of reference env.py:90-92 cv2.imshow)

@@ -354,15 +354,20 @@ class Trainer:
         # Persistent compilation cache: any entry point (cli, sweep, tests,
         # probes) skips recompiles of previously-seen specialisations —
         # significant where compiles are remote (tens of seconds each).
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.environ.get("RAINBOW_JAX_CACHE",
-                               os.path.expanduser("~/.cache/rainbow_tpu/jax")))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
-        except Exception:
-            pass
+        # Respect a user-set cache dir (jax config or env var); never
+        # override one (ADVICE r2).
+        if (jax.config.jax_compilation_cache_dir is None
+                and "JAX_COMPILATION_CACHE_DIR" not in os.environ):
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.environ.get(
+                        "RAINBOW_JAX_CACHE",
+                        os.path.expanduser("~/.cache/rainbow_tpu/jax")))
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception as e:
+                log(f"compilation cache setup failed: {e!r}")
         self.make_env = make_env or make_env_factory(cfg)
         self.results_dir = os.path.join(cfg.results_dir, cfg.run_id)
         self.proc_id = jax.process_index()
@@ -532,6 +537,10 @@ class Trainer:
         log(f"Restored checkpoint at T={self.T} from {path}")
 
     # ---- evaluation -----------------------------------------------------
+    def _eval_env_factory(self):
+        return lambda num_envs, training: self.make_env(
+            num_envs=num_envs, training=training, seed_offset=1234)
+
     def evaluate_now(self, val_states, evaluate_only=False):
         """Evaluate the current policy. Multi-process: every process runs the
         SAME eval (identical replicated params, identical eval-env seeds, the
@@ -540,29 +549,77 @@ class Trainer:
         self.loop_key, k = ag.split2(self.loop_key)
         avg_r, avg_q, rewards, qs = ev.evaluate(
             self.cfg, self._eval_params(), self.action_space,
-            lambda num_envs, training: self.make_env(
-                num_envs=num_envs, training=training, seed_offset=1234),
-            val_states, k)
+            self._eval_env_factory(), val_states, k)
         if not evaluate_only:
-            self.metrics["steps"].append(self.T)
-            self.metrics["rewards"].append(rewards)
-            self.metrics["Qs"].append(qs)
-            best = avg_r > self.metrics["best_avg_reward"]
-            if best:
-                self.metrics["best_avg_reward"] = avg_r
-            if self.is_chief:
-                if best:
-                    ckpt.save_params(
-                        os.path.join(self.results_dir, "model.npz"),
-                        self._eval_params())  # best save, test.py:43-46
-                with open(os.path.join(self.results_dir,
-                                       "metrics.json"), "w") as f:
-                    json.dump(self.metrics, f)
-                plot_line(self.metrics["steps"], self.metrics["rewards"],
-                          "Reward", self.results_dir)
-                plot_line(self.metrics["steps"], self.metrics["Qs"], "Q",
-                          self.results_dir)
+            self._apply_eval_result(self.T, self._eval_params(), avg_r,
+                                    avg_q, rewards, qs)
         return avg_r, avg_q
+
+    def _apply_eval_result(self, T, params, avg_r, avg_q, rewards, qs):
+        """Record one evaluation's metrics + artifacts (reference
+        test.py:42-55). ``params`` is the snapshot evaluated (== live params
+        in the synchronous path)."""
+        self.metrics["steps"].append(T)
+        self.metrics["rewards"].append(rewards)
+        self.metrics["Qs"].append(qs)
+        best = avg_r > self.metrics["best_avg_reward"]
+        if best:
+            self.metrics["best_avg_reward"] = avg_r
+        if self.is_chief:
+            if best:
+                ckpt.save_params(
+                    os.path.join(self.results_dir, "model.npz"),
+                    params)  # best save, test.py:43-46
+            with open(os.path.join(self.results_dir,
+                                   "metrics.json"), "w") as f:
+                json.dump(self.metrics, f)
+            plot_line(self.metrics["steps"], self.metrics["rewards"],
+                      "Reward", self.results_dir)
+            plot_line(self.metrics["steps"], self.metrics["Qs"], "Q",
+                      self.results_dir)
+
+    # Async evaluation (cfg.async_eval): episodes + validation-Q run on a
+    # background thread against a COPY of the params (the live params'
+    # buffers are donated into the next fused iteration, so the snapshot
+    # must own its memory). Device work interleaves on the chip's stream —
+    # eval programs are tiny next to a fused train iteration — while the
+    # training loop keeps dispatching. Results are drained in T-order on the
+    # main thread (single eval worker => FIFO).
+    def _eval_async_start(self, val_states):
+        import queue as _queue
+        if not hasattr(self, "_eval_pool"):
+            self._eval_pool = ThreadPoolExecutor(1)
+            self._eval_results = _queue.Queue()
+            self._eval_futs = []
+        self.loop_key, k = ag.split2(self.loop_key)
+        params = ag._copy_tree(self._eval_params())
+        T = self.T
+
+        def job():
+            try:
+                avg_r, avg_q, rewards, qs = ev.evaluate(
+                    self.cfg, params, self.action_space,
+                    self._eval_env_factory(), val_states, k)
+                self._eval_results.put((T, params, avg_r, avg_q, rewards, qs))
+            except Exception as e:  # surface, don't kill training
+                log(f"async eval at T={T} failed: {e!r}")
+
+        self._eval_futs.append(self._eval_pool.submit(job))
+
+    def _eval_async_drain(self, wait=False):
+        if not hasattr(self, "_eval_pool"):
+            return
+        if wait:
+            for f in self._eval_futs:
+                f.result()
+            self._eval_futs.clear()
+        while not self._eval_results.empty():
+            T, params, avg_r, avg_q, rewards, qs = self._eval_results.get()
+            self._apply_eval_result(T, params, avg_r, avg_q, rewards, qs)
+            if self.is_chief:
+                log(f"T = {T} / {self.cfg.total_steps} | Avg. reward: "
+                    f"{avg_r} | Avg. Q: {avg_q:.4f} | "
+                    f"{self.timer.summary()}")
 
     # ---- main loop ------------------------------------------------------
     def run(self):
@@ -640,6 +697,12 @@ class Trainer:
         fused = not self.multi_process and self._dist_learn is None
         num_cells = self.envs_local * cfg.frame_size * cfg.frame_size
         self._delta_floor = 0
+        # Floor ratchet cap: the floor is rounded UP to a bucket by
+        # pack_delta, so cap it at the largest bucket whose padded upload
+        # (3 B/entry) still beats the dense frame size — one busy frame must
+        # not pin a permanently-worse-than-dense bucket (ADVICE r2).
+        floor_cap = max((b for b in _DELTA_BUCKETS if 3 * b < num_cells),
+                        default=0)
 
         def stage_args(a_np):
             """Engine step + host packing + device staging for one
@@ -662,8 +725,7 @@ class Trainer:
                                             min_bucket=self._delta_floor)
                     self._delta_floor = max(
                         self._delta_floor,
-                        min(2 * dpos.shape[0], num_cells // 3,
-                            _DELTA_BUCKETS[-1]))
+                        min(2 * dpos.shape[0], floor_cap))
                     is_delta = True
                     obs_form = (jnp.asarray(counts), jnp.asarray(ppos),
                                 jnp.asarray(pval))
@@ -679,10 +741,12 @@ class Trainer:
         def fused_dispatch(is_delta, tail, a_exec, stack, num_learns, beta,
                            sync_target):
             fn = train_iter_delta if is_delta else train_iter_packed
-            actions, self.agent, stack, self.rep, self.loop_key, _ = fn(
+            actions, self.agent, stack, self.rep, self.loop_key, loss = fn(
                 cfg, self.action_space, num_learns, self.agent, stack,
                 self.rep, self.loop_key, a_exec, *tail, np.float32(beta),
                 np.bool_(sync_target))
+            if num_learns:  # device scalar, fetched lazily by the heartbeat
+                self._last_loss = loss
             return actions, stack
         # Depth-D pipeline: seed the queue with D copies of the first action
         # set (a brief startup transient; lag settles to D steps).
@@ -712,13 +776,16 @@ class Trainer:
         next_memsave = nxt(cfg.memory_save_interval) \
             if cfg.memory_path is not None else float("inf")
         profiling = False
+        self._last_loss = None
         import time as _time
         last_log_t, last_log_T = _time.time(), self.T
         while self.T < cfg.total_steps:
             now = _time.time()
             if now - last_log_t > 60 and self.is_chief:  # throughput heartbeat
                 sps = (self.T - last_log_T) / (now - last_log_t)
-                log(f"T = {self.T} | {sps:.0f} env-steps/s | "
+                loss_s = "" if self._last_loss is None else \
+                    f" | loss: {float(np.asarray(self._last_loss)):.4f}"
+                log(f"T = {self.T} | {sps:.0f} env-steps/s{loss_s} | "
                     f"{self.timer.summary()}")
                 last_log_t, last_log_T = now, self.T
             it += 1
@@ -822,6 +889,7 @@ class Trainer:
                         self.loop_key, k = ag.split2(self.loop_key)
                         self.agent, self.rep, loss = self._run_learner_round(
                             beta, k)
+                        self._last_loss = loss
                         self.timer.stop("learn")
 
                 if self.T >= next_target_sync:  # main.py:177-178
@@ -832,16 +900,20 @@ class Trainer:
                     next_target_sync += cfg.target_update
 
                 if self.T >= next_eval:  # main.py:166-174
-                    avg_r, avg_q = self.evaluate_now(val_states)
-                    if self.is_chief:
-                        log(f"T = {self.T} / {cfg.total_steps} | Avg. reward: "
-                            f"{avg_r} | Avg. Q: {avg_q:.4f} | "
-                            f"{self.timer.summary()}")
+                    if cfg.async_eval and not self.multi_process:
+                        self._eval_async_start(val_states)
+                    else:
+                        avg_r, avg_q = self.evaluate_now(val_states)
+                        if self.is_chief:
+                            log(f"T = {self.T} / {cfg.total_steps} | "
+                                f"Avg. reward: {avg_r} | Avg. Q: "
+                                f"{avg_q:.4f} | {self.timer.summary()}")
                     next_eval += cfg.evaluation_interval
                     if (cfg.memory_path is not None
                             and not cfg.memory_save_interval):
                         self.save_checkpoint("memory_checkpoint.npz",
                                              include_replay=True)
+                self._eval_async_drain()
 
                 if self.T >= next_memsave:  # decoupled replay-save cadence
                     self.save_checkpoint("memory_checkpoint.npz",
@@ -856,5 +928,6 @@ class Trainer:
             fut.result()  # drain the in-flight engine step before close
         if pool is not None:
             pool.shutdown()
+        self._eval_async_drain(wait=True)  # land any in-flight evaluations
         self.env.close()
         return self.metrics
