@@ -308,11 +308,11 @@ def bench_train(cfg, game, num_envs, iters, depth=3, delta=True):
     loss = None
     for _ in range(4):
         loss = one_iter(learns_per_iter)
-    jax.block_until_ready(state["stack"])
+    np.asarray(loss)  # REAL settlement (see bench_learner note)
     t0 = time.perf_counter()
     for _ in range(iters):
         loss = one_iter(learns_per_iter)
-    jax.block_until_ready(state["stack"])
+    loss = float(np.asarray(loss))
     dt = time.perf_counter() - t0
     fut2["f"].result()
     env.close()
@@ -321,7 +321,7 @@ def bench_train(cfg, game, num_envs, iters, depth=3, delta=True):
     updates_ps = learns_per_iter * iters / dt
     flops = (iters * num_envs * forward_flops_per_sample(cfg, A)
              + iters * learns_per_iter * learn_flops_per_update(cfg, A))
-    return sps, updates_ps, flops / dt / peak_flops_per_s(), float(loss)
+    return sps, updates_ps, flops / dt / peak_flops_per_s(), loss
 
 
 def bench_decompose(cfg, game, num_envs, iters):
@@ -414,25 +414,25 @@ def bench_decompose(cfg, game, num_envs, iters):
     actions = jnp.zeros((num_envs,), jnp.int32)
     stack, rep, actions = synth_rounds(agent.params, agent.noise_key, stack,
                                        rep, actions, k_steps)  # compile
-    jax.block_until_ready(actions)
+    np.asarray(actions)  # real settlement
     rounds = max(2, iters // k_steps)
     t0 = time.perf_counter()
     for _ in range(rounds):
         stack, rep, actions = synth_rounds(agent.params, agent.noise_key,
                                            stack, rep, actions, k_steps)
-    jax.block_until_ready(actions)
+    np.asarray(actions)  # real settlement
     out["onchip_synthetic"] = (num_envs * rounds * k_steps
                                / (time.perf_counter() - t0))
     # Single-step dispatch variant: the same program without the scan, so the
     # gap to onchip_synthetic isolates per-dispatch overhead.
     stack, rep, actions = synth_rounds(agent.params, agent.noise_key, stack,
                                        rep, actions, 1)  # compile k=1
-    jax.block_until_ready(actions)
+    np.asarray(actions)  # real settlement
     t0 = time.perf_counter()
     for i in range(iters):
         stack, rep, actions = synth_rounds(agent.params, agent.noise_key,
                                            stack, rep, actions, 1)
-    jax.block_until_ready(actions)
+    np.asarray(actions)  # real settlement
     out["onchip_per_dispatch"] = num_envs * iters / (time.perf_counter() - t0)
     return out
 
@@ -489,18 +489,23 @@ def make_learner_state(cfg, A, num_envs):
 
 
 def bench_learner(cfg, agent, rep, A, rounds=5, learns_per_round=32):
+    """NOTE: settlement is forced by FETCHING the loss value (np.asarray),
+    not jax.block_until_ready — on the axon remote platform the latter can
+    return before execution finishes, which inflated the r1/r2 learner
+    numbers (18-39k 'updates/s' were dispatch-rate phantoms; the true rate
+    is measured here via a real device->host data dependency)."""
     key = jax.random.key(5)
     agent, rep, loss = learner_round(agent, rep, cfg, A, learns_per_round,
                                      jnp.float32(0.5), key)  # compile
-    jax.block_until_ready(loss)
+    np.asarray(loss)
     t0 = time.perf_counter()
     for i in range(rounds):
         agent, rep, loss = learner_round(agent, rep, cfg, A,
                                          learns_per_round, jnp.float32(0.5),
                                          jax.random.key(10 + i))
-    jax.block_until_ready(loss)
+    loss_v = float(np.asarray(loss))  # forces the whole donated chain
     dt = time.perf_counter() - t0
-    return rounds * learns_per_round / dt, float(loss)
+    return rounds * learns_per_round / dt, loss_v
 
 
 def main():

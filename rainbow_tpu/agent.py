@@ -157,6 +157,36 @@ def compute_update(agent: AgentState, cfg: RainbowConfig, action_space: int,
     return grads, losses, rng
 
 
+def compute_update_pretarget(agent: AgentState, cfg: RainbowConfig,
+                             action_space: int, batch: dict,
+                             pns_target: jax.Array
+                             ) -> Tuple[dict, jax.Array, jax.Array]:
+    """compute_update with the TARGET-net forward hoisted out: ``pns_target``
+    is this batch's slice of a round-wide target forward (target params are
+    frozen within a learner round — sync happens between rounds — so one
+    dense (round·batch)-row forward replaces a scanned per-update forward;
+    see train._learner_round_batched_impl). Double-Q action selection still
+    uses the CURRENT online params per update (reference agent.py:71-73)."""
+    support = support_vector(cfg.v_min, cfg.v_max, cfg.atoms)
+    rng, _ = jax.random.split(agent.rng)  # keep the rng stream cadence
+
+    next_states = batch["next_states"]
+    pns_online = apply_dqn(agent.params, cfg, action_space, next_states,
+                           agent.noise_key)
+    a_star = jnp.argmax((pns_online * support).sum(axis=2), axis=1)
+    pns_a = jnp.take_along_axis(
+        pns_target, a_star[:, None, None], axis=1)[:, 0, :]
+    target_m = project_distribution(
+        pns_a, batch["returns"], batch["nonterminals"],
+        cfg.discount ** cfg.multi_step, support, cfg.v_min, cfg.v_max)
+    target_m = jax.lax.stop_gradient(target_m)
+
+    full_batch = dict(batch, target_m=target_m)
+    grads, losses = jax.grad(_loss_fn, has_aux=True)(
+        agent.params, cfg, action_space, support, full_batch, agent.noise_key)
+    return grads, losses, rng
+
+
 def apply_grads(agent: AgentState, cfg: RainbowConfig, grads: dict,
                 rng: jax.Array) -> AgentState:
     opt = make_optimizer(cfg)

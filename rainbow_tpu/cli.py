@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--per-env-noise", action="store_true", default=None,
                    help="independent NoisyNet draw per env at act time "
                         "(decorrelated batched exploration)")
+    p.add_argument("--sequential-per", action="store_true", default=None,
+                   help="exact reference PER sequencing (re-sample against "
+                        "latest priorities every update) instead of the "
+                        "batched-PER round (one sample+gather per round)")
     p.add_argument("--async-eval", action="store_true", default=None,
                    help="run evaluations on a background thread against a "
                         "params snapshot (keeps eval off the training loop's "

@@ -85,6 +85,17 @@ class RainbowConfig:
     # per-step host→device payload to the changed pixels — the actor wall on
     # bandwidth-limited host links. Lossless; native backend only. Steps whose
     # delta exceeds ~1/5 dense size fall back to the dense upload.
+    sequential_per: bool = False       # exact reference PER sequencing: every
+    # update in a learner round re-samples against the LATEST priorities
+    # (reference agent.py:61-100 interleaves sample/update/priority-write per
+    # update). Off (default) = batched-PER rounds: one stratified sample of
+    # the whole round's batches against the round-start priority snapshot,
+    # one windowed gather, one priority write-back — removes the per-update
+    # tree rebuild + gather + scatter chain that dominates the scanned
+    # round's serial latency on TPU. Action selection, target construction
+    # and Adam remain exactly per-update. Within-round priority staleness is
+    # the Ape-X/distributed-PER regime; at batched env counts a "round" IS
+    # one algorithm iteration.
     data_parallel: bool = False        # shard envs/replay over all local
     # devices ('data' mesh): replicated agent, per-device replay shards,
     # psum-mean gradients (parallel/learner.py). Requires num_envs and

@@ -55,6 +55,57 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
         f"batch_size {cfg.batch_size} must divide over {n_dev} devices")
     local_batch = cfg.batch_size // n_dev
 
+    def local_round_batched(agent: ag.AgentState, rep_shard: rp.ReplayState,
+                            beta, key):
+        """Batched-PER round under shard_map (cfg.sequential_per=False; see
+        train._learner_round_batched_impl for the single-device rationale):
+        ONE stratified sample per shard against the round-start snapshot,
+        IS weights renormalised by the GLOBAL per-update batch max (pmax),
+        one round-wide target forward, scanned updates with pmean'd grads,
+        one shard-local priority write-back."""
+        import jax.numpy as jnp
+
+        me = jax.lax.axis_index(axis_name)
+        k_sample, k_target = jax.random.split(jax.random.fold_in(key, me))
+        big = rp.sample_many(rep_shard, k_sample, beta,
+                             num_batches=num_learns, batch_size=local_batch,
+                             history=cfg.history_length,
+                             n_step=cfg.multi_step, discount=cfg.discount,
+                             states_uint8=True)
+        wmax = big.pop("weights_max")                      # (NL,)
+        gmax = jax.lax.pmax(wmax, axis_name)
+        big["weights"] = big["weights"] * (wmax / gmax)[:, None]
+        nb, bs = big["next_states"].shape[:2]
+        from rainbow_tpu.models.dqn import apply_dqn
+        ns_flat = rp.states_to_float(big["next_states"].reshape(
+            (nb * bs,) + big["next_states"].shape[2:]))
+        pns_target = apply_dqn(agent.target_params, cfg, action_space,
+                               ns_flat, k_target, per_sample_noise=True)
+        pns_target = pns_target.reshape(nb, bs, action_space, cfg.atoms)
+
+        def body(a, xs):
+            batch, pt = xs
+            batch = dict(batch,
+                         states=rp.states_to_float(batch["states"]),
+                         next_states=rp.states_to_float(batch["next_states"]))
+            a = ag.reset_noise(a)
+            grads, losses, rng = ag.compute_update_pretarget(
+                a, cfg, action_space, batch, pt)
+            grads = jax.lax.pmean(grads, axis_name)
+            a = ag.apply_grads(a, cfg, grads, rng)
+            return a, (jax.lax.stop_gradient(losses),
+                       jax.lax.pmean(losses.mean(), axis_name))
+
+        agent, (per_sample, mean_losses) = jax.lax.scan(
+            body, agent, (big, pns_target))
+        shard = rp.update_priorities(rep_shard, big["idxs"].reshape(-1),
+                                     per_sample.reshape(-1),
+                                     cfg.priority_exponent)
+        # max_priority is a replicated leaf; shard-local maxima must agree.
+        shard = shard.replace(
+            max_priority=jax.lax.pmax(shard.max_priority, axis_name))
+        return agent, shard, mean_losses.mean()
+
     def local_round(agent: ag.AgentState, rep_shard: rp.ReplayState,
                     beta, key):
         me = jax.lax.axis_index(axis_name)
@@ -94,6 +145,8 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
         (agent, priorities, max_p), losses = jax.lax.scan(
             one_learn, (agent, rep_shard.priorities, rep_shard.max_priority),
             jax.random.split(key, num_learns))
+        # max_priority is a replicated leaf; shard-local maxima must agree.
+        max_p = jax.lax.pmax(max_p, axis_name)
         return agent, rep_shard.replace(priorities=priorities,
                                         max_priority=max_p), losses.mean()
 
@@ -105,7 +158,8 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
         priorities=P(axis_name), index=P(), full=P(), t=P(axis_name),
         max_priority=P())
     mapped = jax.shard_map(
-        local_round, mesh=mesh,
+        local_round if cfg.sequential_per else local_round_batched,
+        mesh=mesh,
         in_specs=(P(), rep_spec, P(), P()),
         out_specs=(P(), rep_spec, P()),
         check_vma=False)

@@ -154,24 +154,12 @@ def _blank_masks(firsts: jax.Array, history: int, n_step: int) -> jax.Array:
     return jnp.stack(blank, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("batch_size", "history",
-                                             "n_step", "discount"))
-def sample(state: ReplayState, key: jax.Array, beta: jax.Array,
-           *, batch_size: int, history: int, n_step: int,
-           discount: float):
-    """Sample a prioritized batch. Returns a dict with
-    idxs (flat leaf indices for update_priorities), states/next_states
-    (B, 84, 84, history) float32 NHWC in [0,1], actions (B,), returns (B,),
-    nonterminals (B,), weights (B,).
-
-    Mirrors reference memory.py:124-155 (stratified segments, IS weights
-    normalised by the batch max) with the rejection loop replaced by masking.
-    """
+def _gather_unnormalised(state: ReplayState, idx, p, total, beta,
+                         history: int, n_step: int, discount: float,
+                         states_uint8: bool = False):
+    """Windowed gather + batch assembly for sampled flat indices ``idx``;
+    weights are UNNORMALISED (callers divide by their own batch max)."""
     E, C = state.priorities.shape
-    tvalid = _valid_time_mask(C, state.index, history, n_step)
-    masked_p = jnp.where(tvalid[None, :], state.priorities, 0.0)
-    flat = masked_p.reshape(-1)
-    idx, p, total = _stratified_find(flat, key, batch_size)
     e, i = idx // C, idx % C
 
     # Windowed gather: offsets −history+1 .. n relative to the sampled index
@@ -192,9 +180,10 @@ def sample(state: ReplayState, key: jax.Array, beta: jax.Array,
 
     f = int(round(frames_w.shape[-1] ** 0.5))
 
-    def to_state(fr):  # (B, T, F*F) -> (B, F, F, T) float in [0,1]
+    def to_state(fr):  # (B, T, F*F) -> (B, F, F, T), uint8 or [0,1] float
         fr = fr.reshape(fr.shape[0], fr.shape[1], f, f)
-        return jnp.transpose(fr, (0, 2, 3, 1)).astype(jnp.float32) / 255.0
+        fr = jnp.transpose(fr, (0, 2, 3, 1))
+        return fr if states_uint8 else fr.astype(jnp.float32) / 255.0
     states = to_state(frames_w[:, :history])
     next_states = to_state(frames_w[:, n_step:n_step + history])
     actions = act_w[:, history - 1]
@@ -203,7 +192,7 @@ def sample(state: ReplayState, key: jax.Array, beta: jax.Array,
     returns = rew_w[:, history - 1:history - 1 + n_step] @ gammas
     nonterminals = nt_w[:, history + n_step - 1].astype(jnp.float32)
 
-    # IS weights (N·p)^−β / max — reference memory.py:149-154. N = number of
+    # IS weights (N·p)^−β — reference memory.py:149-154. N = number of
     # stored transitions (capacity if full else index), scaled by env count.
     stored = jnp.where(state.full, C, state.index) * E
     probs = p / jnp.maximum(total, 1e-12)
@@ -213,18 +202,84 @@ def sample(state: ReplayState, key: jax.Array, beta: jax.Array,
     # reference's rejection loop at memory.py:128-132 would spin forever)
     # degrades to all-zero weights instead of NaN.
     weights = jnp.where((p > 0) & (total > 0), weights, 0.0)
-    weights_max = jnp.maximum(jnp.max(weights), 1e-12)
-    weights = weights / weights_max
-
     return {
         "idxs": idx, "states": states, "actions": actions,
         "returns": returns, "next_states": next_states,
         "nonterminals": nonterminals, "weights": weights,
-        # Pre-normalisation max, so a sharded learner can renormalise by the
-        # GLOBAL batch max (pmax) for exact parity with the reference's
-        # single-batch normalisation (memory.py:153).
-        "weights_max": weights_max,
     }
+
+
+def _masked_flat_priorities(state: ReplayState, history: int, n_step: int):
+    E, C = state.priorities.shape
+    tvalid = _valid_time_mask(C, state.index, history, n_step)
+    return jnp.where(tvalid[None, :], state.priorities, 0.0).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("batch_size", "history",
+                                             "n_step", "discount"))
+def sample(state: ReplayState, key: jax.Array, beta: jax.Array,
+           *, batch_size: int, history: int, n_step: int,
+           discount: float):
+    """Sample a prioritized batch. Returns a dict with
+    idxs (flat leaf indices for update_priorities), states/next_states
+    (B, 84, 84, history) float32 NHWC in [0,1], actions (B,), returns (B,),
+    nonterminals (B,), weights (B,).
+
+    Mirrors reference memory.py:124-155 (stratified segments, IS weights
+    normalised by the batch max) with the rejection loop replaced by masking.
+    """
+    flat = _masked_flat_priorities(state, history, n_step)
+    idx, p, total = _stratified_find(flat, key, batch_size)
+    out = _gather_unnormalised(state, idx, p, total, beta, history, n_step,
+                               discount)
+    weights_max = jnp.maximum(jnp.max(out["weights"]), 1e-12)
+    out["weights"] = out["weights"] / weights_max
+    # Pre-normalisation max, so a sharded learner can renormalise by the
+    # GLOBAL batch max (pmax) for exact parity with the reference's
+    # single-batch normalisation (memory.py:153).
+    out["weights_max"] = weights_max
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_batches", "batch_size",
+                                             "history", "n_step", "discount",
+                                             "states_uint8"))
+def sample_many(state: ReplayState, key: jax.Array, beta: jax.Array,
+                *, num_batches: int, batch_size: int, history: int,
+                n_step: int, discount: float, states_uint8: bool = False):
+    """Draw a whole learner round's batches in ONE stratified pass against
+    the current priority snapshot: num_batches·batch_size stratified
+    segments, one windowed gather, fields returned with leading shape
+    (num_batches, batch_size, ...).
+
+    Segment j of the global stratification goes to batch j % num_batches, so
+    every batch's draws still span the full priority mass uniformly (batch k
+    gets segments {k, k+num_batches, k+2·num_batches, ...}). IS weights are
+    normalised per batch by that batch's max, matching the reference's
+    per-batch normalisation (memory.py:153).
+
+    states_uint8=True keeps states/next_states as raw uint8 stacks (the
+    blanked frame windows, pre-transpose to NHWC) so a big round's staged
+    batches cost 1/4 the HBM; consumers convert per scan step."""
+    B = num_batches * batch_size
+    flat = _masked_flat_priorities(state, history, n_step)
+    idx, p, total = _stratified_find(flat, key, B)
+    out = _gather_unnormalised(state, idx, p, total, beta, history, n_step,
+                               discount, states_uint8=states_uint8)
+
+    def resh(x):  # (B, ...) -> (num_batches, batch_size, ...)
+        x = x.reshape((batch_size, num_batches) + x.shape[1:])
+        return jnp.swapaxes(x, 0, 1)
+    out = {k: resh(v) for k, v in out.items()}
+    wmax = jnp.maximum(out["weights"].max(axis=1, keepdims=True), 1e-12)
+    out["weights"] = out["weights"] / wmax
+    out["weights_max"] = wmax[:, 0]
+    return out
+
+
+def states_to_float(stacks: jax.Array) -> jax.Array:
+    """uint8 (B, F, F, H) stacks -> float32 in [0,1] (reference env.py:29)."""
+    return stacks.astype(jnp.float32) / 255.0
 
 
 def update_priorities(state: ReplayState, idxs: jax.Array,

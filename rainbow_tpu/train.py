@@ -257,7 +257,9 @@ def _train_iter_core(cfg: RainbowConfig, action_space: int, num_learns: int,
         loop_key, k = jax.random.split(loop_key)
         rep_ro = rep.replace(priorities=jnp.zeros((0,)),
                              max_priority=jnp.zeros(()))
-        agent, priorities, max_priority, loss = _learner_round_impl(
+        impl = _learner_round_impl if cfg.sequential_per \
+            else _learner_round_batched_impl
+        agent, priorities, max_priority, loss = impl(
             agent, rep_ro, rep.priorities, rep.max_priority, cfg,
             action_space, num_learns, beta, k)
         rep = rep.replace(priorities=priorities, max_priority=max_priority)
@@ -303,6 +305,69 @@ def train_iter_delta(cfg: RainbowConfig, action_space: int, num_learns: int,
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space",
                                              "num_learns"),
                    donate_argnames=("agent", "priorities", "max_priority"))
+def _learner_round_batched_impl(agent: ag.AgentState, rep: rp.ReplayState,
+                                priorities, max_priority, cfg: RainbowConfig,
+                                action_space: int, num_learns: int, beta,
+                                key):
+    """Batched-PER learner round (cfg.sequential_per=False, the default).
+
+    The sequential round (below) re-builds the sum-tree, gathers windows and
+    scatters priorities INSIDE every scan step — ~3× the serial kernel chain
+    of the net update itself, and measured 2.4 ms/update on the v5e (the
+    whole round is latency-bound on small kernels, not flops). Here the
+    round's num_learns·batch_size draws happen as ONE stratified pass
+    against the round-start priority snapshot (replay/prioritized.py
+    sample_many), one windowed gather pre-stages every batch, the scan runs
+    only the per-update essentials (noise redraw → double-Q target → grad →
+    Adam), and priorities write back once at the end. Double-Q action
+    selection and target construction still use each update's CURRENT
+    params — only the sampling distribution is round-stale, the standard
+    distributed-PER regime (Ape-X); at batched env counts one round IS one
+    algorithm iteration. On duplicate sampled indices the write-back order
+    is unspecified (the reference would have drawn fresh indices instead;
+    both are single-sample priority estimates)."""
+    r = rep.replace(priorities=priorities, max_priority=max_priority)
+    k_sample, k_target = jax.random.split(key)
+    big = rp.sample_many(r, k_sample, beta,
+                         num_batches=num_learns, batch_size=cfg.batch_size,
+                         history=cfg.history_length, n_step=cfg.multi_step,
+                         discount=cfg.discount, states_uint8=True)
+    big.pop("weights_max")
+    # Round-wide target forward: target params are frozen within the round,
+    # so ALL batches' target distributions come from one dense forward with
+    # per-sample noise (fresher than the reference's per-update redraw,
+    # agent.py:74).
+    nb, bs = big["next_states"].shape[:2]
+    ns_flat = rp.states_to_float(
+        big["next_states"].reshape((nb * bs,) + big["next_states"].shape[2:]))
+    from rainbow_tpu.models.dqn import apply_dqn
+    pns_target = apply_dqn(agent.target_params, cfg, action_space, ns_flat,
+                           k_target, per_sample_noise=True)
+    pns_target = pns_target.reshape(nb, bs, action_space, cfg.atoms)
+
+    def body(a, xs):
+        batch, pt = xs
+        batch = dict(batch,
+                     states=rp.states_to_float(batch["states"]),
+                     next_states=rp.states_to_float(batch["next_states"]))
+        a = ag.reset_noise(a)
+        grads, losses, rng = ag.compute_update_pretarget(a, cfg, action_space,
+                                                         batch, pt)
+        a = ag.apply_grads(a, cfg, grads, rng)
+        return a, losses
+
+    agent, losses = jax.lax.scan(body, agent, (big, pns_target))
+    flat_idx = big["idxs"].reshape(-1)
+    flat_losses = jax.lax.stop_gradient(losses).reshape(-1)
+    r2 = rp.update_priorities(
+        rep.replace(priorities=priorities, max_priority=max_priority),
+        flat_idx, flat_losses, cfg.priority_exponent)
+    return agent, r2.priorities, r2.max_priority, losses.mean()
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space",
+                                             "num_learns"),
+                   donate_argnames=("agent", "priorities", "max_priority"))
 def _learner_round_impl(agent: ag.AgentState, rep: rp.ReplayState,
                         priorities, max_priority, cfg: RainbowConfig,
                         action_space: int, num_learns: int, beta, key):
@@ -333,10 +398,12 @@ def _learner_round_impl(agent: ag.AgentState, rep: rp.ReplayState,
 def learner_round(agent: ag.AgentState, rep: rp.ReplayState,
                   cfg: RainbowConfig, action_space: int, num_learns: int,
                   beta, key):
-    """See _learner_round_impl; reassembles the ReplayState for callers."""
+    """See _learner_round_{batched_,}impl; reassembles the ReplayState."""
     rep_ro = rep.replace(priorities=jnp.zeros((0,)),  # not read by the impl
                          max_priority=jnp.zeros(()))
-    agent, priorities, max_priority, loss = _learner_round_impl(
+    impl = _learner_round_impl if cfg.sequential_per \
+        else _learner_round_batched_impl
+    agent, priorities, max_priority, loss = impl(
         agent, rep_ro, rep.priorities, rep.max_priority, cfg, action_space,
         num_learns, beta, key)
     return agent, rep.replace(priorities=priorities,

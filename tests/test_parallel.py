@@ -68,9 +68,12 @@ def test_distributed_learn_runs_and_stays_replicated(setup):
 
 
 def test_distributed_grads_equal_mean_of_local_grads(setup):
-    """The psum-averaged update must equal applying the mean of the 8
-    per-shard gradients computed independently on the host."""
+    """SEQUENTIAL mode: the psum-averaged update must equal applying the
+    mean of the 8 per-shard gradients computed independently on the host
+    (the host re-derivation mirrors the sequential round's key/sampling
+    structure exactly)."""
     mesh, cfg, A, agent, rep, stack = setup
+    cfg = cfg.replace(sequential_per=True)
     key = jax.random.key(11)
     learn = make_distributed_learn(mesh, cfg, A, num_learns=1)
     agent_dist, _, _ = learn(agent, rep, jnp.float32(0.5), key)
@@ -110,6 +113,74 @@ def test_distributed_grads_equal_mean_of_local_grads(setup):
             jnp.add, grads_sum, g)
     grads_mean = jax.tree.map(lambda x: x / N_DEV, grads_sum)
     _, rng_expected = (None, jax.random.split(agent_n.rng)[0])
+    agent_expected = ag.apply_grads(agent_n, cfg, grads_mean, rng_expected)
+
+    for a, b in zip(jax.tree_util.tree_leaves(agent_dist.params),
+                    jax.tree_util.tree_leaves(agent_expected.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_distributed_batched_round_equals_host_rederivation(setup):
+    """BATCHED-PER mode (default): the shard_map round must equal the host
+    re-derivation — per-shard sample_many against the snapshot, global pmax
+    weight renormalisation, round-wide target forward, pmean'd gradients."""
+    from rainbow_tpu.models.dqn import apply_dqn
+
+    mesh, cfg, A, agent, rep, stack = setup
+    assert not cfg.sequential_per
+    key = jax.random.key(17)
+    learn = make_distributed_learn(mesh, cfg, A, num_learns=1)
+    agent_dist, _, _ = learn(agent, rep, jnp.float32(0.5), key)
+
+    local_batch = cfg.batch_size // N_DEV
+    E_local = cfg.num_envs // N_DEV
+    rep_host = jax.tree.map(np.asarray, rep)
+    shards, bigs = [], []
+    for d in range(N_DEV):
+        sl = slice(d * E_local, (d + 1) * E_local)
+        shard = rp.ReplayState(
+            frames=jnp.asarray(rep_host.frames[sl]),
+            actions=jnp.asarray(rep_host.actions[sl]),
+            rewards=jnp.asarray(rep_host.rewards[sl]),
+            timesteps=jnp.asarray(rep_host.timesteps[sl]),
+            nonterminal=jnp.asarray(rep_host.nonterminal[sl]),
+            priorities=jnp.asarray(rep_host.priorities[sl]),
+            index=jnp.asarray(rep_host.index),
+            full=jnp.asarray(rep_host.full),
+            t=jnp.asarray(rep_host.t[sl]),
+            max_priority=jnp.asarray(rep_host.max_priority))
+        k_sample, k_target = jax.random.split(jax.random.fold_in(key, d))
+        big = rp.sample_many(shard, k_sample, jnp.float32(0.5),
+                             num_batches=1, batch_size=local_batch,
+                             history=cfg.history_length,
+                             n_step=cfg.multi_step, discount=cfg.discount,
+                             states_uint8=True)
+        shards.append((shard, k_target))
+        bigs.append(big)
+    gmax = max(float(b["weights_max"][0]) for b in bigs)
+    agent_n = ag.reset_noise(agent)
+    grads_sum = None
+    for (shard, k_target), big in zip(shards, bigs):
+        weights = np.asarray(big["weights"])[0] * \
+            float(big["weights_max"][0]) / gmax
+        ns = rp.states_to_float(big["next_states"][0])
+        pns_t = apply_dqn(agent.target_params, cfg, A, ns, k_target,
+                          per_sample_noise=True)
+        batch = {
+            "states": rp.states_to_float(big["states"][0]),
+            "next_states": ns,
+            "actions": big["actions"][0],
+            "returns": big["returns"][0],
+            "nonterminals": big["nonterminals"][0],
+            "weights": jnp.asarray(weights),
+            "idxs": big["idxs"][0],
+        }
+        g, _, _ = ag.compute_update_pretarget(agent_n, cfg, A, batch, pns_t)
+        grads_sum = g if grads_sum is None else jax.tree.map(
+            jnp.add, grads_sum, g)
+    grads_mean = jax.tree.map(lambda x: x / N_DEV, grads_sum)
+    rng_expected = jax.random.split(agent_n.rng)[0]
     agent_expected = ag.apply_grads(agent_n, cfg, grads_mean, rng_expected)
 
     for a, b in zip(jax.tree_util.tree_leaves(agent_dist.params),

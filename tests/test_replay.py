@@ -222,3 +222,65 @@ def test_trainer_rejects_pathological_capacity():
         env_backend="fake")  # 16/env < 2*(4+20)+2
     with pytest.raises(ValueError, match="capacity_per_env"):
         Trainer(cfg)
+
+
+def test_sample_many_single_batch_equals_sample():
+    """sample_many(num_batches=1) must reproduce sample() exactly (same key,
+    same stratified draws, same per-batch weight normalisation)."""
+    st = rp.init_replay(2, 64)
+    st = fill(st, 40, terminal_every=7)
+    key = jax.random.key(3)
+    beta = jnp.float32(0.6)
+    kw = dict(batch_size=16, history=4, n_step=3, discount=0.99)
+    a = rp.sample(st, key, beta, **kw)
+    b = rp.sample_many(st, key, beta, num_batches=1, **kw)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]),
+                                   np.asarray(b[k])[0] if k != "weights_max"
+                                   else np.asarray(b[k])[0], rtol=1e-6,
+                                   err_msg=k)
+
+
+def test_sample_many_batches_span_full_mass():
+    """Every batch's stratified draws must span the whole priority range
+    (segment k%num_batches mapping), not a contiguous 1/num_batches slice."""
+    st = rp.init_replay(1, 512)
+    st = fill(st, 512, num_envs=1)
+    out = rp.sample_many(st, jax.random.key(0), jnp.float32(0.5),
+                         num_batches=8, batch_size=32, history=4, n_step=3,
+                         discount=0.99)
+    idxs = np.asarray(out["idxs"])  # (8, 32) positions in the ring
+    # Uniform priorities: stratified draws are ~sorted positions. Each batch
+    # must cover a wide spread of the buffer, not one narrow band.
+    for b in range(8):
+        spread = idxs[b].max() - idxs[b].min()
+        assert spread > 256, f"batch {b} spans only {spread} of 512 slots"
+
+
+def test_batched_round_matches_sequential_learning():
+    """The batched-PER round must learn like the sequential round: same
+    config, same data, comparable loss trajectory and finite outputs."""
+    import rainbow_tpu
+    from rainbow_tpu import agent as ag
+    from rainbow_tpu.train import learner_round
+
+    losses = {}
+    for seq in (False, True):
+        cfg = rainbow_tpu.canonical(num_envs=4, memory_capacity=4 * 128,
+                                    sequential_per=seq)
+        agent = ag.init_agent(jax.random.key(0), cfg, 4)
+        st = rp.init_replay(4, cfg.capacity_per_env)
+        st = fill(st, 100, num_envs=4, terminal_every=11)
+        ls = []
+        for i in range(6):
+            agent, st, loss = learner_round(agent, st, cfg, 4, 8,
+                                            jnp.float32(0.5),
+                                            jax.random.key(10 + i))
+            ls.append(float(loss))
+        losses[seq] = ls
+        assert np.all(np.isfinite(ls))
+        # priorities were written back for sampled leaves
+        assert float(st.max_priority) > 0
+    # Both modes should show the same qualitative trend on random data:
+    # losses stay bounded and in the same range.
+    assert abs(losses[False][-1] - losses[True][-1]) < 1.0
