@@ -114,11 +114,13 @@ def evaluate_q(params: dict, cfg: RainbowConfig, action_space: int,
     return q_values(params, cfg, action_space, support, states, None).max(axis=1)
 
 
-def _loss_fn(params, cfg, action_space, support, batch, online_noise_key):
+def _loss_fn(params, cfg, action_space, support, batch, online_noise_key,
+             noise_eps=None):
     # use_pallas=False: the fused head kernel has no VJP; the grad path uses
     # the XLA-fused reference formulation.
     log_ps = apply_dqn(params, cfg, action_space, batch["states"],
-                       online_noise_key, log=True, use_pallas=False)
+                       online_noise_key, log=True, use_pallas=False,
+                       noise_eps=noise_eps)
     log_ps_a = jnp.take_along_axis(
         log_ps, batch["actions"][:, None, None].astype(jnp.int32), axis=1
     )[:, 0, :]  # (B, atoms) — reference agent.py:66-67
@@ -159,20 +161,24 @@ def compute_update(agent: AgentState, cfg: RainbowConfig, action_space: int,
 
 def compute_update_pretarget(agent: AgentState, cfg: RainbowConfig,
                              action_space: int, batch: dict,
-                             pns_target: jax.Array
+                             pns_target: jax.Array,
+                             noise_eps: Optional[dict] = None
                              ) -> Tuple[dict, jax.Array, jax.Array]:
     """compute_update with the TARGET-net forward hoisted out: ``pns_target``
     is this batch's slice of a round-wide target forward (target params are
     frozen within a learner round — sync happens between rounds — so one
     dense (round·batch)-row forward replaces a scanned per-update forward;
     see train._learner_round_batched_impl). Double-Q action selection still
-    uses the CURRENT online params per update (reference agent.py:71-73)."""
+    uses the CURRENT online params per update (reference agent.py:71-73).
+    ``noise_eps`` (models.dqn.draw_noise) supplies this update's pre-drawn
+    online-net noise, shared by the selection forward and the grad forward
+    exactly as the key-based path shares agent.noise_key."""
     support = support_vector(cfg.v_min, cfg.v_max, cfg.atoms)
     rng, _ = jax.random.split(agent.rng)  # keep the rng stream cadence
 
     next_states = batch["next_states"]
     pns_online = apply_dqn(agent.params, cfg, action_space, next_states,
-                           agent.noise_key)
+                           agent.noise_key, noise_eps=noise_eps)
     a_star = jnp.argmax((pns_online * support).sum(axis=2), axis=1)
     pns_a = jnp.take_along_axis(
         pns_target, a_star[:, None, None], axis=1)[:, 0, :]
@@ -183,7 +189,8 @@ def compute_update_pretarget(agent: AgentState, cfg: RainbowConfig,
 
     full_batch = dict(batch, target_m=target_m)
     grads, losses = jax.grad(_loss_fn, has_aux=True)(
-        agent.params, cfg, action_space, support, full_batch, agent.noise_key)
+        agent.params, cfg, action_space, support, full_batch,
+        agent.noise_key, noise_eps)
     return grads, losses, rng
 
 

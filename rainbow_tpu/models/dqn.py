@@ -80,11 +80,35 @@ def _torso(params, cfg, x: jax.Array) -> jax.Array:
     return x.reshape(x.shape[0], -1)
 
 
+NOISY_LAYERS = ("fc_h_v", "fc_h_a", "fc_z_v", "fc_z_a")
+
+
+def draw_noise(cfg, action_space: int, key: jax.Array, lead=()) -> dict:
+    """Pre-draw factored noise for every noisy layer, with an optional
+    leading shape (e.g. (num_updates,) for a whole scanned learner round in
+    one batched pass — see train._learner_round_batched_impl). Returns
+    {layer: (eps_in, eps_out)} consumable via apply_dqn(noise_eps=...)."""
+    from rainbow_tpu.models.noisy import _scale_noise
+
+    flat, h = cfg.conv_output_size, cfg.hidden_size
+    dims = {"fc_h_v": (flat, h), "fc_h_a": (flat, h),
+            "fc_z_v": (h, cfg.atoms), "fc_z_a": (h, action_space * cfg.atoms)}
+    keys = jax.random.split(key, 4)
+    out = {}
+    for k, name in zip(keys, NOISY_LAYERS):
+        k_in, k_out = jax.random.split(k)
+        din, dout = dims[name]
+        out[name] = (_scale_noise(k_in, tuple(lead) + (din,), jnp.float32),
+                     _scale_noise(k_out, tuple(lead) + (dout,), jnp.float32))
+    return out
+
+
 def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
               noise_key: Optional[jax.Array] = None,
               log: bool = False,
               use_pallas: Optional[bool] = None,
-              per_sample_noise: bool = False) -> jax.Array:
+              per_sample_noise: bool = False,
+              noise_eps: Optional[dict] = None) -> jax.Array:
     """Forward pass: (B, 84, 84, history) NHWC float → (B, A, atoms).
 
     Returns atom probabilities (softmax) or log-probabilities (log=True, the
@@ -108,19 +132,22 @@ def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
             feat.astype(jnp.float32), params, noise_key, atoms=cfg.atoms,
             action_space=action_space, hidden=cfg.hidden_size, log=log,
             interpret=jax.default_backend() == "cpu")
-    if noise_key is None:
+    if noise_key is None or noise_eps is not None:
         k_hv = k_ha = k_zv = k_za = None
     else:
         k_hv, k_ha, k_zv, k_za = jax.random.split(noise_key, 4)
+    ne = noise_eps or {}
     ps = per_sample_noise
     v = noisy_linear(params["fc_z_v"],
                      jax.nn.relu(noisy_linear(params["fc_h_v"], feat, k_hv,
-                                              per_sample=ps)),
-                     k_zv, per_sample=ps)
+                                              per_sample=ps,
+                                              eps=ne.get("fc_h_v"))),
+                     k_zv, per_sample=ps, eps=ne.get("fc_z_v"))
     a = noisy_linear(params["fc_z_a"],
                      jax.nn.relu(noisy_linear(params["fc_h_a"], feat, k_ha,
-                                              per_sample=ps)),
-                     k_za, per_sample=ps)
+                                              per_sample=ps,
+                                              eps=ne.get("fc_h_a"))),
+                     k_za, per_sample=ps, eps=ne.get("fc_z_a"))
     v = v.reshape(-1, 1, cfg.atoms)
     a = a.reshape(-1, action_space, cfg.atoms)
     q = v + a - a.mean(axis=1, keepdims=True)  # dueling combine, model.py:74-75

@@ -56,7 +56,8 @@ def _scale_noise(key: jax.Array, shape, dtype) -> jax.Array:
 
 def noisy_linear(params: dict, x: jax.Array,
                  noise_key: Optional[jax.Array],
-                 per_sample: bool = False) -> jax.Array:
+                 per_sample: bool = False,
+                 eps: Optional[tuple] = None) -> jax.Array:
     """Apply a noisy linear layer.
 
     noise_key=None gives the eval path (μ only, reference model.py:45-46);
@@ -71,16 +72,23 @@ def noisy_linear(params: dict, x: jax.Array,
     The factored form keeps this free of any per-sample weight matrices:
     the σ matmul stays a single shared MXU op, with the batch noise applied
     as elementwise scalings of its input and output.
+
+    eps=(eps_in, eps_out) supplies PRE-DRAWN scaled noise (already through
+    f(x)), bypassing key-based generation — scanned learner rounds hoist all
+    updates' noise draws into one batched pass (train.py).
     """
     dtype = x.dtype
     y = x @ params["w_mu"].astype(dtype).T + params["b_mu"].astype(dtype)
-    if noise_key is None:
+    if noise_key is None and eps is None:
         return y
-    in_features = params["w_mu"].shape[1]
-    out_features = params["w_mu"].shape[0]
-    k_in, k_out = jax.random.split(noise_key)
-    lead = (x.shape[0],) if per_sample else ()
-    eps_in = _scale_noise(k_in, lead + (in_features,), dtype)
-    eps_out = _scale_noise(k_out, lead + (out_features,), dtype)
+    if eps is not None:
+        eps_in, eps_out = (e.astype(dtype) for e in eps)
+    else:
+        in_features = params["w_mu"].shape[1]
+        out_features = params["w_mu"].shape[0]
+        k_in, k_out = jax.random.split(noise_key)
+        lead = (x.shape[0],) if per_sample else ()
+        eps_in = _scale_noise(k_in, lead + (in_features,), dtype)
+        eps_out = _scale_noise(k_out, lead + (out_features,), dtype)
     noise = ((x * eps_in) @ params["w_sigma"].astype(dtype).T) * eps_out
     return y + noise + params["b_sigma"].astype(dtype) * eps_out

@@ -42,13 +42,18 @@ def shard_states(mesh: Mesh, agent_state, rep_state, stack,
 
 
 def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
-                           num_learns: int = 1, axis_name: str = "data"):
+                           num_learns: int = 1, axis_name: str = "data",
+                           jitted: bool = True):
     """Build the jitted multi-device learner round.
 
     Returns fn(agent, rep, beta, key) -> (agent, rep, mean_loss) with rep
     env-sharded and agent replicated. Inside: shard_map over the mesh axis;
     psum/pmean gradient reduction; an identical Adam update on every device
     keeps the replicated params consistent.
+
+    jitted=False returns the raw shard_map'd callable for embedding inside a
+    LARGER jitted program (the fused multi-process train iteration,
+    train.train_iter_mp) instead of dispatching it standalone.
     """
     n_dev = mesh.devices.size
     assert cfg.batch_size % n_dev == 0, (
@@ -66,7 +71,11 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
         import jax.numpy as jnp
 
         me = jax.lax.axis_index(axis_name)
-        k_sample, k_target = jax.random.split(jax.random.fold_in(key, me))
+        # k_noise is derived BEFORE the per-device fold: the online net is
+        # replicated, so every device must apply the IDENTICAL per-update
+        # noise (one logical net); sampling and target noise stay per-shard.
+        k_local, k_noise = jax.random.split(key)
+        k_sample, k_target = jax.random.split(jax.random.fold_in(k_local, me))
         big = rp.sample_many(rep_shard, k_sample, beta,
                              num_batches=num_learns, batch_size=local_batch,
                              history=cfg.history_length,
@@ -76,28 +85,30 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
         gmax = jax.lax.pmax(wmax, axis_name)
         big["weights"] = big["weights"] * (wmax / gmax)[:, None]
         nb, bs = big["next_states"].shape[:2]
-        from rainbow_tpu.models.dqn import apply_dqn
+        from rainbow_tpu.models.dqn import apply_dqn, draw_noise
         ns_flat = rp.states_to_float(big["next_states"].reshape(
             (nb * bs,) + big["next_states"].shape[2:]))
         pns_target = apply_dqn(agent.target_params, cfg, action_space,
                                ns_flat, k_target, per_sample_noise=True)
         pns_target = pns_target.reshape(nb, bs, action_space, cfg.atoms)
+        noise_all = draw_noise(cfg, action_space, k_noise, lead=(num_learns,))
 
         def body(a, xs):
-            batch, pt = xs
+            batch, pt, eps = xs
             batch = dict(batch,
                          states=rp.states_to_float(batch["states"]),
                          next_states=rp.states_to_float(batch["next_states"]))
-            a = ag.reset_noise(a)
             grads, losses, rng = ag.compute_update_pretarget(
-                a, cfg, action_space, batch, pt)
+                a, cfg, action_space, batch, pt, noise_eps=eps)
             grads = jax.lax.pmean(grads, axis_name)
             a = ag.apply_grads(a, cfg, grads, rng)
             return a, (jax.lax.stop_gradient(losses),
                        jax.lax.pmean(losses.mean(), axis_name))
 
         agent, (per_sample, mean_losses) = jax.lax.scan(
-            body, agent, (big, pns_target))
+            body, agent, (big, pns_target, noise_all))
+        agent = agent.replace(
+            noise_key=jax.random.fold_in(agent.noise_key, 1))
         shard = rp.update_priorities(rep_shard, big["idxs"].reshape(-1),
                                      per_sample.reshape(-1),
                                      cfg.priority_exponent)
@@ -163,4 +174,4 @@ def make_distributed_learn(mesh: Mesh, cfg: RainbowConfig, action_space: int,
         in_specs=(P(), rep_spec, P(), P()),
         out_specs=(P(), rep_spec, P()),
         check_vma=False)
-    return jax.jit(mapped)
+    return jax.jit(mapped) if jitted else mapped

@@ -302,6 +302,40 @@ def train_iter_delta(cfg: RainbowConfig, action_space: int, num_learns: int,
                             rewards, dones, kinds, beta, sync_target)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "action_space", "num_learns",
+                                    "learn_fn"),
+                   donate_argnames=("agent", "stack", "rep", "loop_key"))
+def train_iter_mp(cfg: RainbowConfig, action_space: int, num_learns: int,
+                  learn_fn, agent, stack, rep, loop_key, prev_actions, obs,
+                  reset_frames, rewards, dones, kinds, beta, sync_target):
+    """Fused MULTI-PROCESS train iteration: ONE SPMD program per step over
+    the global mesh — append + frame-stack advance + noise redraw + act +
+    the shard_map learner round (``learn_fn``, parallel/learner.py) + masked
+    target sync. All inputs are global arrays (env rows sharded over every
+    process's devices); append/act are row-local so XLA inserts collectives
+    only inside the learner's pmean/pmax.
+
+    Reset frames travel as a dense per-host array (as the non-fused mp path
+    already did): the single-process packed form needs a reset-count bucket
+    that every process would have to agree on per step, and episode-cap
+    resets arrive in bursts that defeat any small static bucket."""
+    stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
+                              reset_frames, rewards, dones, kinds)
+    loss = jnp.zeros(())
+    if num_learns:
+        agent = ag.reset_noise(agent)
+    actions = ag.act(agent.params, cfg, action_space,
+                     to_network_input(stack), agent.noise_key)
+    if num_learns:
+        loop_key, k = jax.random.split(loop_key)
+        agent, rep, loss = learn_fn(agent, rep, beta, k)
+        agent = agent.replace(target_params=jax.tree.map(
+            lambda p, t: jnp.where(sync_target, p, t),
+            agent.params, agent.target_params))
+    return actions, agent, stack, rep, loop_key, loss
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "action_space",
                                              "num_learns"),
                    donate_argnames=("agent", "priorities", "max_priority"))
@@ -327,7 +361,7 @@ def _learner_round_batched_impl(agent: ag.AgentState, rep: rp.ReplayState,
     is unspecified (the reference would have drawn fresh indices instead;
     both are single-sample priority estimates)."""
     r = rep.replace(priorities=priorities, max_priority=max_priority)
-    k_sample, k_target = jax.random.split(key)
+    k_sample, k_target, k_noise = jax.random.split(key, 3)
     big = rp.sample_many(r, k_sample, beta,
                          num_batches=num_learns, batch_size=cfg.batch_size,
                          history=cfg.history_length, n_step=cfg.multi_step,
@@ -340,23 +374,30 @@ def _learner_round_batched_impl(agent: ag.AgentState, rep: rp.ReplayState,
     nb, bs = big["next_states"].shape[:2]
     ns_flat = rp.states_to_float(
         big["next_states"].reshape((nb * bs,) + big["next_states"].shape[2:]))
-    from rainbow_tpu.models.dqn import apply_dqn
+    from rainbow_tpu.models.dqn import apply_dqn, draw_noise
     pns_target = apply_dqn(agent.target_params, cfg, action_space, ns_flat,
                            k_target, per_sample_noise=True)
     pns_target = pns_target.reshape(nb, bs, action_space, cfg.atoms)
+    # Per-update online noise for the whole round in ONE batched draw
+    # (reference main.py:150-151 redraws per learn; here the redraw is a
+    # scan slice instead of 8 in-scan PRNG ops per update).
+    noise_all = draw_noise(cfg, action_space, k_noise, lead=(num_learns,))
 
     def body(a, xs):
-        batch, pt = xs
+        batch, pt, eps = xs
         batch = dict(batch,
                      states=rp.states_to_float(batch["states"]),
                      next_states=rp.states_to_float(batch["next_states"]))
-        a = ag.reset_noise(a)
         grads, losses, rng = ag.compute_update_pretarget(a, cfg, action_space,
-                                                         batch, pt)
+                                                         batch, pt,
+                                                         noise_eps=eps)
         a = ag.apply_grads(a, cfg, grads, rng)
         return a, losses
 
-    agent, losses = jax.lax.scan(body, agent, (big, pns_target))
+    agent, losses = jax.lax.scan(body, agent, (big, pns_target, noise_all))
+    # Advance the act-noise stream past the round (the scanned per-update
+    # redraw no longer touches agent.noise_key).
+    agent = agent.replace(noise_key=jax.random.fold_in(agent.noise_key, 1))
     flat_idx = big["idxs"].reshape(-1)
     flat_losses = jax.lax.stop_gradient(losses).reshape(-1)
     r2 = rp.update_priorities(
@@ -454,9 +495,11 @@ class Trainer:
             assert cfg.num_envs % self.num_procs == 0, (
                 f"num_envs {cfg.num_envs} must divide over "
                 f"{self.num_procs} processes")
-            if cfg.pipeline_actor or cfg.delta_uploads:
-                raise ValueError("pipeline_actor/delta_uploads are "
-                                 "single-process modes")
+            if cfg.delta_uploads:
+                # Sparse deltas need a per-step bucket size every process
+                # agrees on; multi-process hosts feed their own devices over
+                # local links where the dense upload is not the wall.
+                raise ValueError("delta_uploads is a single-process mode")
         self.envs_local = cfg.num_envs // self.num_procs
         # Ring-capacity guard: each env's ring must hold at least one full
         # (-history+1 .. +n) sample window beyond the write-head exclusion
@@ -503,6 +546,7 @@ class Trainer:
         # host's replay rows living on its own devices, pmean/pmax
         # collectives riding ICI within a host and DCN across hosts.
         self._dist_learn = None
+        self._learn_raw = None
         if self.multi_process:
             from rainbow_tpu.parallel.learner import make_distributed_learn
             from rainbow_tpu.parallel.multihost import (globalize_agent,
@@ -512,8 +556,12 @@ class Trainer:
             n_dev = self.mesh.devices.size
             assert cfg.num_envs % n_dev == 0, (
                 f"num_envs {cfg.num_envs} must divide over {n_dev} devices")
-            self._dist_learn = make_distributed_learn(
-                self.mesh, cfg, self.action_space, self.learns_per_iter)
+            # Raw (unjitted) shard_map round: embedded INSIDE the fused
+            # per-iteration SPMD program (train_iter_mp) so a multi-process
+            # step is one dispatch, like the single-process fast path.
+            self._learn_raw = make_distributed_learn(
+                self.mesh, cfg, self.action_space, self.learns_per_iter,
+                jitted=False)
             self.agent = globalize_agent(self.mesh, self.agent)
             self.rep = globalize_replay(self.mesh, self.rep)
         elif cfg.data_parallel:
@@ -614,6 +662,12 @@ class Trainer:
         same loop_key stream), so the metrics agree everywhere without any
         collective; only process 0 writes artifacts."""
         self.loop_key, k = ag.split2(self.loop_key)
+        if self.multi_process:
+            # The training loop's key is a replicated GLOBAL array once the
+            # fused SPMD program has run; evaluation is process-local jit, so
+            # collapse to this host's copy (identical everywhere).
+            from rainbow_tpu.parallel.multihost import local_value
+            k = local_value(k)
         avg_r, avg_q, rewards, qs = ev.evaluate(
             self.cfg, self._eval_params(), self.action_space,
             self._eval_env_factory(), val_states, k)
@@ -713,19 +767,32 @@ class Trainer:
         use_delta = cfg.delta_uploads and hasattr(self.env, "step_delta")
         env_step = self.env.step_delta if use_delta else self.env.step
 
-        def device_update_mp(step_out, a_exec, stack, rep):
-            """Multi-process per-step dispatch: each host's engine outputs
-            become its rows of global env-sharded arrays (one
-            make_array_from_process_local_data per field, ~7KB/env), then the
-            SAME fused actor program runs SPMD — appends and act are
-            row-local, so XLA inserts no collectives."""
-            obs, resets, rewards, dones, kinds = step_out
+        def stage_args_mp(a_local_np):
+            """Multi-process staging: this host's engine step, then each
+            output becomes this host's rows of a global env-sharded array
+            (one make_array_from_process_local_data per field — local
+            device_puts only, no cross-host traffic). Runs on the worker
+            thread in pipelined mode, exactly like stage_args."""
+            obs, resets, rewards, dones, kinds = env_step(a_local_np)
             g = lambda x, dt=None: globalize(
                 self.mesh, np.ascontiguousarray(x, dt), P("data"))
-            return actor_step(self.agent.params, self.agent.noise_key, cfg,
-                              self.action_space, stack, rep, a_exec,
-                              g(obs), g(resets), g(rewards, np.float32),
-                              g(dones.astype(bool)), g(kinds))
+            return (g(obs), g(resets), g(rewards, np.float32),
+                    g(dones.astype(bool)), g(kinds))
+
+        def fused_dispatch_mp(tail, a_exec, stack, num_learns, beta,
+                              sync_target):
+            """ONE SPMD program per multi-process iteration (train_iter_mp):
+            append + act + embedded shard_map learner round + masked target
+            sync — the single-dispatch structure of the single-process fast
+            path, previously forbidden under multi-process (VERDICT r2)."""
+            actions, self.agent, stack, self.rep, self.loop_key, loss = \
+                train_iter_mp(cfg, self.action_space, num_learns,
+                              self._learn_raw, self.agent, stack, self.rep,
+                              self.loop_key, a_exec, *tail,
+                              np.float32(beta), np.bool_(sync_target))
+            if num_learns:
+                self._last_loss = loss
+            return actions, stack
 
         def device_update(step_out, a_exec, stack, rep, act_args=None):
             """Dispatch the fused per-step device program for one engine
@@ -755,13 +822,17 @@ class Trainer:
                               self.action_space, stack, rep, a_exec, *tail)
             return fns[1](cfg, self.action_space, stack, rep, a_exec, *tail)
 
-        # Fused single-process fast path: the whole iteration (append +
-        # noise redraw + act + learner round + target sync) is ONE device
-        # program (train_iter_*). Separate actor/learner dispatches stall
-        # the remote dispatch pipeline resolving cross-program donation of
-        # the replay buffers (150-350 ms/iteration measured); fused, each
-        # iteration chains on the previous one at device speed.
-        fused = not self.multi_process and self._dist_learn is None
+        # Fused fast paths: the whole iteration (append + noise redraw +
+        # act + learner round + target sync) is ONE device program
+        # (train_iter_* single-process, train_iter_mp multi-process).
+        # Separate actor/learner dispatches stall the dispatch pipeline
+        # resolving cross-program donation of the replay buffers (150-350
+        # ms/iteration measured); fused, each iteration chains on the
+        # previous one at device speed. Only single-process data_parallel
+        # retains the split-dispatch structure.
+        fused_sp = not self.multi_process and self._dist_learn is None
+        fused_mp = self.multi_process
+        fused = fused_sp or fused_mp
         num_cells = self.envs_local * cfg.frame_size * cfg.frame_size
         self._delta_floor = 0
         # Floor ratchet cap: the floor is rounded UP to a bucket by
@@ -829,8 +900,11 @@ class Trainer:
             pool = ThreadPoolExecutor(1)
             pending_a = action_queue.popleft()
             action_queue.append(pending_a)  # keep queue depth D
-            fut = pool.submit(stage_args if fused else env_step,
-                              np.asarray(pending_a))
+            stage_fn = (stage_args_mp if fused_mp
+                        else stage_args if fused_sp else env_step)
+            fut = pool.submit(stage_fn,
+                              local_rows(pending_a) if fused_mp
+                              else np.asarray(pending_a))
         it = 0
         # Schedule marks relative to the current T (exact after resume).
         nxt = lambda interval: ((self.T // interval) + 1) * interval \
@@ -880,29 +954,43 @@ class Trainer:
 
             if fused and cfg.pipeline_actor:
                 self.timer.start("env")
-                is_delta, tail = fut.result()  # staged step t
+                staged = fut.result()  # staged step t
                 self.timer.stop("env")
                 a_exec = pending_a
                 pending_a = action_queue.popleft()
                 self.timer.start("fetch")
-                pa_np = np.asarray(pending_a)  # settled: free
+                pa_np = (local_rows(pending_a) if fused_mp
+                         else np.asarray(pending_a))  # settled: free
                 self.timer.stop("fetch")
-                fut = pool.submit(stage_args, pa_np)  # engine step t+1
+                fut = pool.submit(stage_args_mp if fused_mp else stage_args,
+                                  pa_np)  # engine step t+1
                 self.timer.start("actor")
-                a_new, stack = fused_dispatch(is_delta, tail, a_exec, stack,
-                                              num_learns, beta, sync_target)
+                if fused_mp:
+                    a_new, stack = fused_dispatch_mp(
+                        staged, a_exec, stack, num_learns, beta, sync_target)
+                else:
+                    is_delta, tail = staged
+                    a_new, stack = fused_dispatch(is_delta, tail, a_exec,
+                                                  stack, num_learns, beta,
+                                                  sync_target)
                 a_new.copy_to_host_async()
                 action_queue.append(a_new)
                 self.timer.stop("actor")
             elif fused:
                 self.timer.start("env")
-                is_delta, tail = stage_args(acts_np)
+                staged = (stage_args_mp if fused_mp else stage_args)(acts_np)
                 self.timer.stop("env")
                 self.timer.start("actor")
-                actions, stack = fused_dispatch(is_delta, tail, actions,
-                                                stack, num_learns, beta,
-                                                sync_target)
-                acts_np = np.asarray(actions)
+                if fused_mp:
+                    actions, stack = fused_dispatch_mp(
+                        staged, actions, stack, num_learns, beta, sync_target)
+                    acts_np = local_rows(actions)
+                else:
+                    is_delta, tail = staged
+                    actions, stack = fused_dispatch(is_delta, tail, actions,
+                                                    stack, num_learns, beta,
+                                                    sync_target)
+                    acts_np = np.asarray(actions)
                 self.timer.stop("actor")
             elif cfg.pipeline_actor:
                 # ONE fused async dispatch per iteration (append + stack
@@ -931,20 +1019,15 @@ class Trainer:
                 a_new.copy_to_host_async()
                 action_queue.append(a_new)
                 self.timer.stop("actor")
-            else:
+            else:  # single-process data_parallel, serial
                 self.timer.start("env")
                 step_out = env_step(acts_np)
                 self.timer.stop("env")
                 self.timer.start("actor")
-                if self.multi_process:
-                    actions, stack, self.rep = device_update_mp(
-                        step_out, actions, stack, self.rep)
-                    acts_np = local_rows(actions)
-                else:
-                    actions, stack, self.rep = device_update(
-                        step_out, actions, stack, self.rep,
-                        act_args=(self.agent.params, self.agent.noise_key))
-                    acts_np = np.asarray(actions)
+                actions, stack, self.rep = device_update(
+                    step_out, actions, stack, self.rep,
+                    act_args=(self.agent.params, self.agent.noise_key))
+                acts_np = np.asarray(actions)
                 self.timer.stop("actor")
 
             if learning:

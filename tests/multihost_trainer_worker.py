@@ -32,7 +32,10 @@ cfg = rainbow_tpu.data_efficient(
     evaluation_interval=200, evaluation_episodes=2, evaluation_size=16,
     architecture="data-efficient", hidden_size=32, multi_step=3,
     env_backend="fake", results_dir=tmpdir, run_id="mh",
-    max_episode_length=400, memory_path="save-replay")
+    max_episode_length=400, memory_path="save-replay",
+    # Exercise the multi-process FAST path: pipelined engine overlap + the
+    # fused single-dispatch SPMD iteration (train_iter_mp).
+    pipeline_actor=True, pipeline_depth=2)
 
 tr = Trainer(cfg)
 assert tr.multi_process and tr.envs_local == 4, (tr.multi_process,

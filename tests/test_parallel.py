@@ -150,7 +150,8 @@ def test_distributed_batched_round_equals_host_rederivation(setup):
             full=jnp.asarray(rep_host.full),
             t=jnp.asarray(rep_host.t[sl]),
             max_priority=jnp.asarray(rep_host.max_priority))
-        k_sample, k_target = jax.random.split(jax.random.fold_in(key, d))
+        k_local, k_noise = jax.random.split(key)
+        k_sample, k_target = jax.random.split(jax.random.fold_in(k_local, d))
         big = rp.sample_many(shard, k_sample, jnp.float32(0.5),
                              num_batches=1, batch_size=local_batch,
                              history=cfg.history_length,
@@ -159,7 +160,11 @@ def test_distributed_batched_round_equals_host_rederivation(setup):
         shards.append((shard, k_target))
         bigs.append(big)
     gmax = max(float(b["weights_max"][0]) for b in bigs)
-    agent_n = ag.reset_noise(agent)
+    from rainbow_tpu.models.dqn import draw_noise
+    _, k_noise = jax.random.split(key)
+    noise_all = draw_noise(cfg, A, k_noise, lead=(1,))
+    noise0 = {name: (e_in[0], e_out[0])
+              for name, (e_in, e_out) in noise_all.items()}
     grads_sum = None
     for (shard, k_target), big in zip(shards, bigs):
         weights = np.asarray(big["weights"])[0] * \
@@ -176,12 +181,13 @@ def test_distributed_batched_round_equals_host_rederivation(setup):
             "weights": jnp.asarray(weights),
             "idxs": big["idxs"][0],
         }
-        g, _, _ = ag.compute_update_pretarget(agent_n, cfg, A, batch, pns_t)
+        g, _, _ = ag.compute_update_pretarget(agent, cfg, A, batch, pns_t,
+                                              noise_eps=noise0)
         grads_sum = g if grads_sum is None else jax.tree.map(
             jnp.add, grads_sum, g)
     grads_mean = jax.tree.map(lambda x: x / N_DEV, grads_sum)
-    rng_expected = jax.random.split(agent_n.rng)[0]
-    agent_expected = ag.apply_grads(agent_n, cfg, grads_mean, rng_expected)
+    rng_expected = jax.random.split(agent.rng)[0]
+    agent_expected = ag.apply_grads(agent, cfg, grads_mean, rng_expected)
 
     for a, b in zip(jax.tree_util.tree_leaves(agent_dist.params),
                     jax.tree_util.tree_leaves(agent_expected.params)):

@@ -125,24 +125,29 @@ def test_cli_parses_and_overrides():
     assert not args.evaluate
 
 
-def test_learner_round_redraws_online_noise_per_update(tmp_path):
-    """Online-net noise must be re-drawn before EVERY scanned update
-    (reference main.py:150-151 + agent.py:49-50), not held fixed across the
-    round: the carried noise_key advances once per update and the per-update
-    keys are pairwise distinct."""
+def _filled_replay(cfg):
     from rainbow_tpu.replay import prioritized as rp
-    from rainbow_tpu.train import learner_round
 
-    cfg = tiny_cfg(tmp_path)
-    A = 6
-    agent = ag.init_agent(jax.random.key(0), cfg, A)
     rep = rp.init_replay(cfg.num_envs, cfg.capacity_per_env, cfg.frame_size)
-    # Fill enough transitions to sample from.
     for t in range(80):
         rep = rp.append(
             rep, jnp.full((cfg.num_envs, 84, 84), t % 251, jnp.uint8),
             jnp.zeros(cfg.num_envs, jnp.int32), jnp.zeros(cfg.num_envs),
             jnp.zeros(cfg.num_envs, bool))
+    return rep
+
+
+def test_learner_round_redraws_online_noise_per_update(tmp_path):
+    """SEQUENTIAL mode: online-net noise is re-drawn before EVERY scanned
+    update (reference main.py:150-151 + agent.py:49-50) — the carried
+    noise_key advances once per update and the per-update keys are pairwise
+    distinct."""
+    from rainbow_tpu.train import learner_round
+
+    cfg = tiny_cfg(tmp_path).replace(sequential_per=True)
+    A = 6
+    agent = ag.init_agent(jax.random.key(0), cfg, A)
+    rep = _filled_replay(cfg)
     num_learns = 3
     # learner_round donates the agent: derive the expected keys up front.
     keys = [agent.noise_key]
@@ -158,3 +163,32 @@ def test_learner_round_redraws_online_noise_per_update(tmp_path):
         for j in range(i + 1, len(datas_expected)):
             assert not np.array_equal(datas_expected[i],
                                       datas_expected[j]), (i, j)
+
+
+def test_batched_round_noise_distinct_per_update_and_key_advances(tmp_path):
+    """BATCHED mode (default): every scanned update gets a DISTINCT noise
+    sample (the round-wide draw_noise rows are pairwise distinct per layer)
+    and the act-noise stream still advances across the round."""
+    from rainbow_tpu.models.dqn import draw_noise
+    from rainbow_tpu.train import learner_round
+
+    cfg = tiny_cfg(tmp_path)
+    assert not cfg.sequential_per
+    A = 6
+    agent = ag.init_agent(jax.random.key(0), cfg, A)
+    rep = _filled_replay(cfg)
+    key_before = np.asarray(jax.random.key_data(agent.noise_key))
+    out_agent, _, loss = learner_round(agent, rep, cfg, A, 3,
+                                       jnp.float32(0.4), jax.random.key(7))
+    assert np.isfinite(float(loss))
+    assert not np.array_equal(
+        np.asarray(jax.random.key_data(out_agent.noise_key)), key_before)
+
+    noise = draw_noise(cfg, A, jax.random.key(9), lead=(3,))
+    for name, (e_in, e_out) in noise.items():
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert not np.array_equal(np.asarray(e_in[i]),
+                                          np.asarray(e_in[j])), (name, i, j)
+                assert not np.array_equal(np.asarray(e_out[i]),
+                                          np.asarray(e_out[j])), (name, i, j)
