@@ -757,6 +757,7 @@ Game* make_game(const char* name) {
   if (g == "qbert") return new Qbert();
   if (g == "boxing") return new Boxing();
   if (Game* game = make_game2(name)) return game;  // catalogue batch 2
+  if (Game* game = make_game3(name)) return game;  // Atari-100k completion
   // Fall through to the real ALE (dlopen'd) for any other game name when a
   // libale + ROM directory are configured (see ale_backend.cc).
   return make_ale_game(name);

@@ -61,6 +61,8 @@ struct Canvas {
 
 Game* make_game(const char* name);
 Game* make_game2(const char* name);     // games2.cc (catalogue batch 2)
+Game* make_game3(const char* name);     // games3.cc (Atari-100k completion)
+Game* make_game3b(const char* name);    // games3b.cc (second half of batch 3)
 Game* make_ale_game(const char* name);  // ale_backend.cc (dlopen'd real ALE)
 int ale_backend_available();
 

@@ -1,0 +1,933 @@
+// Native games, batch 3: the remaining Atari-100k suite titles —
+// alien, amidar, assault, asterix, bank_heist, battle_zone,
+// chopper_command, hero, jamesbond, krull, kung_fu_master, private_eye,
+// road_runner, up_n_down.
+//
+// With games.cc and games2.cc this completes native stand-ins for all 26
+// games of the Atari-100k benchmark (the reference trains on any atari_py
+// ROM, reference main.py:25/env.py:18; this image ships none), enabling the
+// BASELINE config[4] 26-game sweep. Same contract as games.cc: 210x160
+// grayscale ALE screen geometry, ALE minimal action sets, lives,
+// per-seed-deterministic dynamics. Implementations are compact but carry
+// each game's core mechanic (mazes, heat, lattice tracing, pseudo-3D
+// bearings, scrolling lanes, energy management, melee ranges...).
+#include "games.h"
+
+#include <algorithm>
+#include <cmath>
+#include <string>
+
+namespace rainbow {
+
+namespace {
+
+constexpr uint8_t kBg = 0;
+constexpr uint8_t kDim = 90;
+constexpr uint8_t kMid = 150;
+constexpr uint8_t kBright = 255;
+
+struct Move3 { int dx, dy; bool fire; };
+Move3 dec18(int a) {
+  static constexpr int kDx[8] = {0, 1, -1, 0, 1, -1, 1, -1};
+  static constexpr int kDy[8] = {-1, 0, 0, 1, -1, -1, 1, 1};
+  Move3 m{0, 0, false};
+  if (a == 1) { m.fire = true; return m; }
+  if (a >= 10) { m.fire = true; a -= 8; }
+  if (a >= 2 && a <= 9) { m.dx = kDx[a - 2]; m.dy = kDy[a - 2]; }
+  return m;
+}
+
+// Shared status band: score strip + life pips.
+void band(Canvas& c, int lives) {
+  c.rect(8, 0, 8, kScreenW, kDim);
+  for (int i = 0; i < lives; ++i) c.rect(9, 8 + 8 * i, 5, 5, kBright);
+}
+
+// ---------------------------------------------------------------------------
+// Alien: corridor maze with eggs (+10 each), three aliens chasing; FIRE is a
+// short-range flamethrower that destroys an adjacent alien (+150, respawns).
+// 3 lives. Full 18-action set (matches ALE alien).
+// ---------------------------------------------------------------------------
+class Alien final : public Game {
+ public:
+  static constexpr int kCols = 20, kRows = 18, kTile = 8;
+  static constexpr int kMazeY = 32;
+
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 3;
+    over_ = false;
+    new_maze();
+    respawn();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    Move3 m = dec18(action);
+    float reward = 0.0f;
+    step_grid(px_, py_, m.dx, m.dy, 2);
+    if (m.dx) face_ = m.dx;
+    int tc = px_ / kTile, tr = py_ / kTile;
+    uint8_t& cell = maze_[tr * kCols + tc];
+    if (cell == 2) { cell = 1; reward += 10.0f; --eggs_; }
+    flame_ = m.fire ? 4 : std::max(flame_ - 1, 0);
+    for (int g = 0; g < 3; ++g) {
+      int cdx = (px_ > ax_[g]) ? 1 : (px_ < ax_[g]) ? -1 : 0;
+      int cdy = (py_ > ay_[g]) ? 1 : (py_ < ay_[g]) ? -1 : 0;
+      if (rng_.below(6) == 0) { cdx = rng_.below(3) - 1; cdy = rng_.below(3) - 1; }
+      step_grid(ax_[g], ay_[g], cdx, cdy, 1 + (g == 0));
+      bool close = std::abs(ax_[g] - px_) < 7 && std::abs(ay_[g] - py_) < 7;
+      bool in_flame = flame_ > 0 &&
+          std::abs(ay_[g] - py_) < 8 &&
+          (face_ > 0 ? (ax_[g] > px_ && ax_[g] - px_ < 18)
+                     : (ax_[g] < px_ && px_ - ax_[g] < 18));
+      if (in_flame) {
+        reward += 150.0f;
+        ax_[g] = (2 + g * 7) * kTile + 4; ay_[g] = 2 * kTile + 4;
+      } else if (close) {
+        --lives_;
+        if (lives_ <= 0) { over_ = true; return reward; }
+        respawn();
+        return reward;
+      }
+    }
+    if (eggs_ <= 0) { new_maze(); respawn(); reward += 100.0f; }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    band(c, lives_);
+    for (int r = 0; r < kRows; ++r)
+      for (int col = 0; col < kCols; ++col) {
+        uint8_t v = maze_[r * kCols + col];
+        int y = kMazeY + r * kTile, x = col * kTile;
+        if (v == 0) c.rect(y, x, kTile, kTile, (uint8_t)70);
+        else if (v == 2) c.rect(y + 3, x + 3, 2, 2, kMid);
+      }
+    for (int g = 0; g < 3; ++g)
+      c.rect(kMazeY + ay_[g] - 4, ax_[g] - 3, 9, 7, (uint8_t)(160 + g * 25));
+    c.rect(kMazeY + py_ - 4, px_ - 3, 9, 7, kBright);
+    if (flame_ > 0)
+      c.rect(kMazeY + py_ - 2, face_ > 0 ? px_ + 4 : px_ - 18, 4, 14, kMid);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 18; }
+
+ private:
+  bool open(int tc, int tr) const {
+    if (tc < 0 || tc >= kCols || tr < 0 || tr >= kRows) return false;
+    return maze_[tr * kCols + tc] != 0;
+  }
+  void step_grid(int& x, int& y, int dx, int dy, int speed) {
+    for (int s = 0; s < speed; ++s) {
+      int tc = x / kTile, tr = y / kTile;
+      int nx = x + dx, ny = y + dy;
+      if (dx && open(tc + dx, tr)) x = nx;
+      else if (dy && open(tc, tr + dy)) y = ny;
+    }
+    x = std::clamp(x, 4, kCols * kTile - 5);
+    y = std::clamp(y, 4, kRows * kTile - 5);
+  }
+  void new_maze() {
+    static const char* kMap[kRows] = {
+        "####################",
+        "#........#.........#",
+        "#.######.#.######..#",
+        "#.#....#...#....#..#",
+        "#.#.##.#####.##.#..#",
+        "#...##.......##....#",
+        "###.##.##.##.##.####",
+        "#......##.##.......#",
+        "#.####.##.##.####..#",
+        "#.#..............#.#",
+        "#.#.####.##.####.#.#",
+        "#...#....##....#...#",
+        "###.#.########.#.###",
+        "#...#....##....#...#",
+        "#.#####..##..#####.#",
+        "#........##........#",
+        "#.######....######.#",
+        "####################"};
+    eggs_ = 0;
+    for (int r = 0; r < kRows; ++r)
+      for (int c2 = 0; c2 < kCols; ++c2) {
+        uint8_t v = kMap[r][c2] == '#' ? 0 : 2;
+        if (v == 2) ++eggs_;
+        maze_[r * kCols + c2] = v;
+      }
+  }
+  void respawn() {
+    px_ = 1 * kTile + 4; py_ = (kRows - 3) * kTile + 4;
+    face_ = 1; flame_ = 0;
+    for (int g = 0; g < 3; ++g) {
+      ax_[g] = (4 + g * 6) * kTile + 4;
+      ay_[g] = 1 * kTile + 4;
+    }
+  }
+
+  Rng rng_{0};
+  uint8_t maze_[kRows * kCols] = {};
+  int px_ = 0, py_ = 0, face_ = 1, flame_ = 0;
+  int ax_[3] = {}, ay_[3] = {};
+  int eggs_ = 0, lives_ = 3;
+  bool over_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Amidar: trace the rectangular lattice; every newly-painted edge cell pays
+// +1, completing the whole lattice starts the next level (+100). Chasers
+// patrol the lattice; contact costs a life (3). FIRE (jump) briefly freezes
+// chasers. Minimal action set (10): NOOP UP RIGHT LEFT DOWN UPFIRE
+// RIGHTFIRE LEFTFIRE DOWNFIRE FIRE (matches ALE amidar).
+// ---------------------------------------------------------------------------
+class Amidar final : public Game {
+ public:
+  static constexpr int kCell = 26;   // lattice pitch in px
+  static constexpr int kNx = 6, kNy = 6;
+  static constexpr int kOx = 5, kOy = 36;
+
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 3;
+    over_ = false;
+    new_level();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    int dx = 0, dy = 0;
+    bool fire = action == 9 || (action >= 5 && action <= 8);
+    int dir = action >= 5 && action <= 8 ? action - 4 : action;
+    if (dir == 1) dy = -1;
+    if (dir == 2) dx = 1;
+    if (dir == 3) dx = -1;
+    if (dir == 4) dy = 1;
+    if (fire && jump_cool_ == 0) { freeze_ = 40; jump_cool_ = 200; }
+    if (jump_cool_ > 0) --jump_cool_;
+    if (freeze_ > 0) --freeze_;
+    float reward = 0.0f;
+    move_on_lattice(px_, py_, dx, dy, 2);
+    // Paint the edge cell under the player.
+    int ci = cell_index(px_, py_);
+    if (ci >= 0 && !painted_[ci]) {
+      painted_[ci] = true;
+      ++painted_count_;
+      reward += 1.0f;
+    }
+    if (painted_count_ >= total_cells_) {
+      new_level();
+      return reward + 100.0f;
+    }
+    for (int g = 0; g < 4; ++g) {
+      if (freeze_ == 0) {
+        // Patrol: keep direction until a wall, then turn toward player-ish.
+        if (!can_move(gx_[g], gy_[g], gdx_[g], gdy_[g])) {
+          int cdx = (px_ > gx_[g]) ? 1 : -1;
+          int cdy = (py_ > gy_[g]) ? 1 : -1;
+          if (rng_.below(2)) { gdx_[g] = cdx; gdy_[g] = 0; }
+          else { gdx_[g] = 0; gdy_[g] = cdy; }
+          if (!can_move(gx_[g], gy_[g], gdx_[g], gdy_[g])) {
+            gdx_[g] = -gdx_[g]; gdy_[g] = -gdy_[g];
+          }
+        }
+        move_on_lattice(gx_[g], gy_[g], gdx_[g], gdy_[g], 1);
+      }
+      if (std::abs(gx_[g] - px_) < 6 && std::abs(gy_[g] - py_) < 6) {
+        --lives_;
+        if (lives_ <= 0) { over_ = true; return reward; }
+        respawn();
+        return reward;
+      }
+    }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    band(c, lives_);
+    // Lattice: horizontal + vertical lines, painted cells bright.
+    for (int y = 0; y <= kNy; ++y)
+      for (int x = 0; x < kNx; ++x) {
+        int ci = h_index(x, y);
+        c.rect(kOy + y * kCell, kOx + x * kCell, 3, kCell,
+               painted_[ci] ? kBright : kDim);
+      }
+    for (int y = 0; y < kNy; ++y)
+      for (int x = 0; x <= kNx; ++x) {
+        int ci = v_index(x, y);
+        c.rect(kOy + y * kCell, kOx + x * kCell, kCell, 3,
+               painted_[ci] ? kBright : kDim);
+      }
+    for (int g = 0; g < 4; ++g)
+      c.rect(gy_[g] - 4, gx_[g] - 4, 9, 9,
+             freeze_ > 0 ? (uint8_t)110 : (uint8_t)(170 + g * 20));
+    c.rect(py_ - 4, px_ - 4, 9, 9, kBright);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 10; }
+
+ private:
+  static int h_index(int x, int y) { return y * kNx + x; }               // horizontal edges
+  static int v_index(int x, int y) { return (kNy + 1) * kNx + y * (kNx + 1) + x; }
+  int cell_index(int px, int py) const {
+    int rx = px - kOx, ry = py - kOy;
+    int gx = (rx + kCell / 2) / kCell, gy = (ry + kCell / 2) / kCell;
+    bool on_h = std::abs(ry - gy * kCell) <= 2;
+    bool on_v = std::abs(rx - gx * kCell) <= 2;
+    if (on_h && gy >= 0 && gy <= kNy) {
+      int ex = rx / kCell;
+      if (ex >= 0 && ex < kNx) return h_index(ex, gy);
+    }
+    if (on_v && gx >= 0 && gx <= kNx) {
+      int ey = ry / kCell;
+      if (ey >= 0 && ey < kNy) return v_index(gx, ey);
+    }
+    return -1;
+  }
+  bool can_move(int x, int y, int dx, int dy) const {
+    if (dx == 0 && dy == 0) return false;
+    int nx = x + dx * 2, ny = y + dy * 2;
+    int rx = nx - kOx, ry = ny - kOy;
+    if (rx < 0 || rx > kNx * kCell || ry < 0 || ry > kNy * kCell) return false;
+    int gx = (rx + kCell / 2) / kCell, gy = (ry + kCell / 2) / kCell;
+    if (dx != 0) return std::abs(ry - gy * kCell) <= 2;   // must be on a row
+    return std::abs(rx - gx * kCell) <= 2;                // must be on a column
+  }
+  void move_on_lattice(int& x, int& y, int dx, int dy, int speed) {
+    for (int s = 0; s < speed; ++s)
+      if (can_move(x, y, dx, dy)) { x += dx; y += dy; }
+  }
+  void respawn() {
+    px_ = kOx; py_ = kOy + kNy * kCell;
+    freeze_ = 0; jump_cool_ = 0;
+    for (int g = 0; g < 4; ++g) {
+      gx_[g] = kOx + (1 + g) * kCell; gy_[g] = kOy;
+      gdx_[g] = g % 2 ? 1 : -1; gdy_[g] = 0;
+    }
+  }
+  void new_level() {
+    std::fill(std::begin(painted_), std::end(painted_), false);
+    painted_count_ = 0;
+    total_cells_ = (kNy + 1) * kNx + (kNx + 1) * kNy;
+    respawn();
+  }
+
+  Rng rng_{0};
+  bool painted_[(kNy + 1) * kNx + (kNx + 1) * kNy] = {};
+  int painted_count_ = 0, total_cells_ = 0;
+  int px_ = 0, py_ = 0;
+  int gx_[4] = {}, gy_[4] = {}, gdx_[4] = {}, gdy_[4] = {};
+  int freeze_ = 0, jump_cool_ = 0, lives_ = 3;
+  bool over_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Assault: a mothership streams drones down the flanks; the turret moves
+// along the ground and fires up/sideways. Sustained fire overheats (the
+// real game's heat bar): at max heat the cannon locks until cooled. Drone
+// kill +10·wave. 3 lives. Minimal action set (7): NOOP FIRE UP RIGHT LEFT
+// RIGHTFIRE LEFTFIRE (matches ALE assault; UP fires the vertical cannon).
+// ---------------------------------------------------------------------------
+class Assault final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 3;
+    over_ = false;
+    wave_ = 1;
+    x_ = 80;
+    heat_ = 0;
+    shot_y_ = -1; sx_ = -1;
+    new_wave();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    bool fire_up = action == 1 || action == 2;
+    bool fire_side = action == 5 || action == 6;
+    if (action == 3 || action == 5) x_ += 3;
+    if (action == 4 || action == 6) x_ -= 3;
+    x_ = std::clamp(x_, 8, kScreenW - 18);
+    bool locked = heat_ >= kMaxHeat;
+    if ((fire_up || fire_side) && !locked) {
+      heat_ += 24;
+      if (fire_up && shot_y_ < 0) { shot_y_ = kGroundY - 6; shot_x_ = x_ + 4; }
+      if (fire_side && sx_ < 0) {
+        sx_ = x_ + 4; sy_ = kGroundY - 4;
+        sdir_ = action == 5 ? 1 : -1;
+      }
+    }
+    heat_ = std::max(heat_ - 6, 0);
+    if (shot_y_ >= 0) { shot_y_ -= 6; if (shot_y_ < 20) shot_y_ = -1; }
+    if (sx_ >= 0) {
+      sx_ += sdir_ * 6;
+      if (sx_ < 0 || sx_ > kScreenW) sx_ = -1;
+    }
+    float reward = 0.0f;
+    int alive = 0;
+    for (auto& d : drones_) {
+      if (!d.alive) continue;
+      ++alive;
+      d.phase += 0.06f;
+      d.x = d.cx + std::sin(d.phase) * 40.0f;
+      d.y += 0.35f + 0.1f * wave_;
+      bool hit = (shot_y_ >= 0 && std::abs(shot_x_ - d.x - 5) < 7 &&
+                  std::abs((float)shot_y_ - d.y) < 6) ||
+                 (sx_ >= 0 && std::abs((float)sx_ - d.x - 5) < 7 &&
+                  std::abs((float)sy_ - d.y) < 6);
+      if (hit) {
+        d.alive = false;
+        reward += 10.0f * wave_;
+        shot_y_ = -1;
+        continue;
+      }
+      if (d.y + 6 >= kGroundY && std::abs(d.x - x_) < 10) {
+        d.alive = false;
+        --lives_;
+        if (lives_ <= 0) { over_ = true; return reward; }
+      } else if (d.y > kGroundY) {
+        d.y = 30;  // recycles to the top
+      }
+    }
+    if (alive == 0) { wave_ = std::min(wave_ + 1, 6); new_wave(); }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    band(c, lives_);
+    c.rect(22, 50, 8, 60, kMid);  // mothership
+    c.rect(kGroundY + 10, 0, 4, kScreenW, kMid);
+    c.rect(kScreenH - 10, 20, 4, heat_ * 100 / kMaxHeat, kBright);  // heat bar
+    for (const auto& d : drones_)
+      if (d.alive) c.rect((int)d.y, (int)d.x, 6, 10, (uint8_t)(150 + wave_ * 12));
+    if (shot_y_ >= 0) c.rect(shot_y_, shot_x_, 6, 2, kBright);
+    if (sx_ >= 0) c.rect(sy_, sx_, 2, 6, kBright);
+    c.rect(kGroundY, x_, 10, 10, kBright);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 7; }
+
+ private:
+  static constexpr int kGroundY = 180;
+  static constexpr int kMaxHeat = 120;
+  struct Drone { float x = 0, y = 0, cx = 0, phase = 0; bool alive = false; };
+
+  void new_wave() {
+    for (auto& d : drones_) d.alive = false;
+    for (int i = 0; i < 5; ++i) {
+      drones_[i].alive = true;
+      drones_[i].cx = 30.0f + i * 25.0f;
+      drones_[i].y = 34.0f + (i % 2) * 18.0f;
+      drones_[i].phase = (float)i * 1.3f;
+    }
+  }
+
+  Rng rng_{0};
+  Drone drones_[8] = {};
+  int x_ = 80, heat_ = 0, shot_y_ = -1, shot_x_ = 0;
+  int sx_ = -1, sy_ = 0, sdir_ = 1;
+  int wave_ = 1, lives_ = 3;
+  bool over_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Asterix: 8 horizontal lanes of drifting objects — collect potions (+50),
+// touching a lyre costs a life (3). Lane objects speed up per stage.
+// Minimal action set (9): NOOP UP RIGHT LEFT DOWN UPRIGHT UPLEFT DOWNRIGHT
+// DOWNLEFT (matches ALE asterix).
+// ---------------------------------------------------------------------------
+class Asterix final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 3;
+    over_ = false;
+    stage_ = 1;
+    collected_ = 0;
+    px_ = 78; py_lane_ = 4;
+    for (auto& o : objs_) spawn(o);
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    int dx = 0, dy = 0;
+    switch (action) {
+      case 1: dy = -1; break;
+      case 2: dx = 1; break;
+      case 3: dx = -1; break;
+      case 4: dy = 1; break;
+      case 5: dx = 1; dy = -1; break;
+      case 6: dx = -1; dy = -1; break;
+      case 7: dx = 1; dy = 1; break;
+      case 8: dx = -1; dy = 1; break;
+    }
+    if (lane_cool_ > 0) --lane_cool_;
+    if (dy != 0 && lane_cool_ == 0) {
+      py_lane_ = std::clamp(py_lane_ + dy, 0, kLanes - 1);
+      lane_cool_ = 6;
+    }
+    px_ = std::clamp(px_ + dx * 3, 6, kScreenW - 16);
+    float reward = 0.0f;
+    for (auto& o : objs_) {
+      o.x += o.dir * (1.2f + 0.3f * stage_);
+      if (o.x < -14 || o.x > kScreenW + 2) spawn(o);
+      if (o.lane == py_lane_ && std::abs(o.x - px_) < 10) {
+        if (o.potion) {
+          reward += 50.0f;
+          ++collected_;
+          if (collected_ >= 12) { stage_ = std::min(stage_ + 1, 5); collected_ = 0; }
+          spawn(o);
+        } else {
+          --lives_;
+          if (lives_ <= 0) { over_ = true; return reward; }
+          px_ = 78; py_lane_ = 4;
+          return reward;
+        }
+      }
+    }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    band(c, lives_);
+    for (int l = 0; l < kLanes; ++l)
+      c.rect(lane_y(l) + 12, 0, 1, kScreenW, kDim);
+    for (const auto& o : objs_)
+      c.rect(lane_y(o.lane), (int)o.x, o.potion ? 8 : 10, o.potion ? 6 : 12,
+             o.potion ? kBright : kMid);
+    c.rect(lane_y(py_lane_), px_, 11, 9, kBright);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 9; }
+
+ private:
+  static constexpr int kLanes = 8;
+  static int lane_y(int l) { return 38 + l * 18; }
+  struct Obj { float x; int lane, dir; bool potion; };
+
+  void spawn(Obj& o) {
+    o.lane = rng_.below(kLanes);
+    o.dir = rng_.below(2) ? 1 : -1;
+    o.x = o.dir > 0 ? -12.0f : (float)kScreenW;
+    o.potion = rng_.below(5) < 3;
+  }
+
+  Rng rng_{0};
+  Obj objs_[10] = {};
+  int px_ = 78, py_lane_ = 4, lane_cool_ = 0;
+  int stage_ = 1, collected_ = 0, lives_ = 3;
+  bool over_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Bank Heist: drive a getaway car through a city maze, rob banks (+50 each);
+// each robbery spawns a police car that chases through the maze. FIRE drops
+// dynamite behind the car (destroys a pursuing police car, +30). Running out
+// of fuel or getting caught costs a life (3; fuel refills per life/city).
+// Full 18-action set (matches ALE bank_heist).
+// ---------------------------------------------------------------------------
+class BankHeist final : public Game {
+ public:
+  static constexpr int kCols = 20, kRows = 18, kTile = 8;
+  static constexpr int kMazeY = 32;
+
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 3;
+    over_ = false;
+    new_city();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    Move3 m = dec18(action);
+    float reward = 0.0f;
+    if (--fuel_ <= 0) return lose_life();
+    step_grid(px_, py_, m.dx, m.dy, 2);
+    if (m.fire && dyn_timer_ <= 0) { dyn_x_ = px_; dyn_y_ = py_; dyn_timer_ = 30; }
+    if (dyn_timer_ > 0 && --dyn_timer_ == 0) {
+      for (auto& p : police_)
+        if (p.alive && std::abs(p.x - dyn_x_) < 14 && std::abs(p.y - dyn_y_) < 14) {
+          p.alive = false;
+          reward += 30.0f;
+        }
+    }
+    for (auto& b : banks_) {
+      if (!b.alive) continue;
+      if (std::abs(b.x - px_) < 8 && std::abs(b.y - py_) < 8) {
+        b.alive = false;
+        reward += 50.0f;
+        ++robbed_;
+        for (auto& p : police_)   // each robbery adds a pursuer
+          if (!p.alive) { p.alive = true; p.x = 10 * kTile; p.y = 1 * kTile + 4; break; }
+      }
+    }
+    for (auto& p : police_) {
+      if (!p.alive) continue;
+      int cdx = (px_ > p.x) ? 1 : (px_ < p.x) ? -1 : 0;
+      int cdy = (py_ > p.y) ? 1 : (py_ < p.y) ? -1 : 0;
+      if (rng_.below(5) == 0) { cdx = rng_.below(3) - 1; cdy = rng_.below(3) - 1; }
+      step_grid(p.x, p.y, cdx, cdy, 1);
+      if (std::abs(p.x - px_) < 6 && std::abs(p.y - py_) < 6) return lose_life();
+    }
+    if (robbed_ >= kBanks) { new_city(); reward += 100.0f; }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    band(c, lives_);
+    c.rect(10, 120, 4, std::max(fuel_ / 40, 0), kMid);  // fuel gauge
+    for (int r = 0; r < kRows; ++r)
+      for (int col = 0; col < kCols; ++col)
+        if (maze_[r * kCols + col] == 0)
+          c.rect(kMazeY + r * kTile, col * kTile, kTile, kTile, (uint8_t)60);
+    for (const auto& b : banks_)
+      if (b.alive) c.rect(kMazeY + b.y - 4, b.x - 4, 9, 9, kMid);
+    for (const auto& p : police_)
+      if (p.alive) c.rect(kMazeY + p.y - 4, p.x - 4, 8, 10, (uint8_t)190);
+    if (dyn_timer_ > 0) c.rect(kMazeY + dyn_y_ - 2, dyn_x_ - 2, 5, 5, kBright);
+    c.rect(kMazeY + py_ - 4, px_ - 5, 8, 11, kBright);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 18; }
+
+ private:
+  static constexpr int kBanks = 3;
+  struct Bank { int x, y; bool alive; };
+  struct Police { int x, y; bool alive; };
+
+  bool open(int tc, int tr) const {
+    if (tc < 0 || tc >= kCols || tr < 0 || tr >= kRows) return false;
+    return maze_[tr * kCols + tc] != 0;
+  }
+  void step_grid(int& x, int& y, int dx, int dy, int speed) {
+    for (int s = 0; s < speed; ++s) {
+      int tc = x / kTile, tr = y / kTile;
+      if (dx && open(tc + dx, tr)) x += dx;
+      else if (dy && open(tc, tr + dy)) y += dy;
+    }
+    x = std::clamp(x, 4, kCols * kTile - 5);
+    y = std::clamp(y, 4, kRows * kTile - 5);
+  }
+  float lose_life() {
+    --lives_;
+    if (lives_ <= 0) { over_ = true; return 0.0f; }
+    px_ = 1 * kTile + 4; py_ = (kRows - 2) * kTile + 4;
+    fuel_ = kMaxFuel;
+    return 0.0f;
+  }
+  void new_city() {
+    static const char* kMap[kRows] = {
+        "####################",
+        "#..................#",
+        "#.####.######.####.#",
+        "#.#..#.#....#.#..#.#",
+        "#.#..#.#.##.#.#..#.#",
+        "#......#.##.#......#",
+        "#.####.#....#.####.#",
+        "#.#......##......#.#",
+        "#.#.####.##.####.#.#",
+        "#........##........#",
+        "#.######.##.######.#",
+        "#.#......##......#.#",
+        "#.#.####....####.#.#",
+        "#.#....#.##.#....#.#",
+        "#.####.#.##.#.####.#",
+        "#......#....#......#",
+        "#.####.######.####.#",
+        "####################"};
+    for (int r = 0; r < kRows; ++r)
+      for (int c2 = 0; c2 < kCols; ++c2)
+        maze_[r * kCols + c2] = kMap[r][c2] == '#' ? 0 : 1;
+    px_ = 1 * kTile + 4; py_ = (kRows - 2) * kTile + 4;
+    fuel_ = kMaxFuel;
+    robbed_ = 0;
+    dyn_timer_ = 0;
+    banks_[0] = {3 * kTile + 4, 3 * kTile + 4, true};
+    banks_[1] = {16 * kTile + 4, 7 * kTile + 4, true};
+    banks_[2] = {10 * kTile + 4, 13 * kTile + 4, true};
+    for (auto& p : police_) p.alive = false;
+  }
+
+  static constexpr int kMaxFuel = 3000;
+  Rng rng_{0};
+  uint8_t maze_[kRows * kCols] = {};
+  Bank banks_[kBanks] = {};
+  Police police_[4] = {};
+  int px_ = 0, py_ = 0, fuel_ = kMaxFuel, robbed_ = 0;
+  int dyn_x_ = 0, dyn_y_ = 0, dyn_timer_ = 0, lives_ = 3;
+  bool over_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Battle Zone: first-person tank combat rendered as bearings on a horizon.
+// LEFT/RIGHT rotate, UP/DOWN drive, FIRE shoots along the current bearing;
+// an enemy tank centred in the reticle explodes (+1000). Enemy shells cost a
+// life when it has you in ITS sights too long. 5 lives. Full 18-action set
+// (matches ALE battle_zone).
+// ---------------------------------------------------------------------------
+class BattleZone final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 5;
+    over_ = false;
+    heading_ = 0;
+    mx_ = my_ = 0;
+    cool_ = 0;
+    spawn_enemy();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    Move3 m = dec18(action);
+    heading_ += m.dx * 0.06f;
+    mx_ += std::sin(heading_) * -m.dy * 1.5f;
+    my_ += std::cos(heading_) * -m.dy * 1.5f;
+    if (cool_ > 0) --cool_;
+    float reward = 0.0f;
+    // Enemy relative bearing.
+    float dx = ex_ - mx_, dy = ey_ - my_;
+    float dist = std::sqrt(dx * dx + dy * dy);
+    float bearing = std::atan2(dx, dy) - heading_;
+    while (bearing > 3.14159f) bearing -= 6.28318f;
+    while (bearing < -3.14159f) bearing += 6.28318f;
+    if (m.fire && cool_ == 0) {
+      cool_ = 20;
+      if (std::abs(bearing) < 0.12f && dist < 140.0f) {
+        reward += 1000.0f;
+        spawn_enemy();
+        threat_ = 0;
+      }
+    }
+    // Enemy drives toward us and lines up a shot.
+    float spd = 0.8f;
+    ex_ -= dx / std::max(dist, 1.0f) * spd;
+    ey_ -= dy / std::max(dist, 1.0f) * spd;
+    if (dist < 90.0f) {
+      if (++threat_ > 90) {  // it had you in its sights too long
+        threat_ = 0;
+        --lives_;
+        spawn_enemy();
+        if (lives_ <= 0) over_ = true;
+      }
+    } else {
+      threat_ = std::max(threat_ - 1, 0);
+    }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    band(c, lives_);
+    c.rect(kHorizon, 0, 2, kScreenW, kMid);           // horizon
+    c.rect(kHorizon - 18, 20, 6, 8, kDim);            // mountains
+    c.rect(kHorizon - 12, 60, 8, 12, kDim);
+    c.rect(kHorizon - 15, 120, 7, 9, kDim);
+    // Enemy: screen x from bearing, size from distance.
+    float dx = ex_ - mx_, dy = ey_ - my_;
+    float dist = std::sqrt(dx * dx + dy * dy);
+    float bearing = std::atan2(dx, dy) - heading_;
+    while (bearing > 3.14159f) bearing -= 6.28318f;
+    while (bearing < -3.14159f) bearing += 6.28318f;
+    if (std::abs(bearing) < 1.1f) {
+      int sx = (int)(kScreenW / 2 + bearing * 70.0f);
+      int size = std::clamp((int)(900.0f / std::max(dist, 10.0f)), 4, 40);
+      c.rect(kHorizon + 8, sx - size / 2, size / 2 + 4, size,
+             threat_ > 60 ? kBright : kMid);
+    }
+    // Reticle.
+    c.rect(kHorizon + 12, kScreenW / 2 - 1, 14, 2, kBright);
+    c.rect(kHorizon + 18, kScreenW / 2 - 7, 2, 14, kBright);
+    // Radar dish.
+    c.rect(20, kScreenW / 2 - 12, 24, 24, kDim);
+    int rx = (int)(kScreenW / 2 + std::sin(bearing) * 10.0f);
+    int ry = (int)(32 - std::cos(bearing) * 10.0f);
+    c.rect(ry, rx, 3, 3, kBright);
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 18; }
+
+ private:
+  static constexpr int kHorizon = 100;
+  void spawn_enemy() {
+    float a = rng_.uniform() * 6.28318f;
+    ex_ = mx_ + std::sin(a) * 130.0f;
+    ey_ = my_ + std::cos(a) * 130.0f;
+  }
+
+  Rng rng_{0};
+  float heading_ = 0, mx_ = 0, my_ = 0, ex_ = 0, ey_ = 0;
+  int cool_ = 0, threat_ = 0, lives_ = 5;
+  bool over_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// Chopper Command: helicopter over a scrolling desert escorts a truck
+// convoy; enemy jets stream in and bomb the trucks. Jet kill +100; a lost
+// truck ends the wave bonus; collision/bomb costs a life (3). Full
+// 18-action set (matches ALE chopper_command).
+// ---------------------------------------------------------------------------
+class ChopperCommand final : public Game {
+ public:
+  void reset(uint64_t seed) override {
+    rng_ = Rng(seed);
+    lives_ = 3;
+    over_ = false;
+    wave_ = 1;
+    new_wave();
+  }
+
+  float act(int action) override {
+    if (over_) return 0.0f;
+    Move3 m = dec18(action);
+    x_ = std::clamp(x_ + m.dx * 3, 8, kScreenW - 20);
+    y_ = std::clamp(y_ + m.dy * 2, 30, kTruckY - 14);
+    if (m.dx) face_ = m.dx;
+    if (m.fire && shot_life_ == 0) {
+      shot_x_ = (float)(x_ + (face_ > 0 ? 14 : -2));
+      shot_y_ = (float)(y_ + 3);
+      shot_life_ = 24;
+    }
+    if (shot_life_ > 0) {
+      --shot_life_;
+      shot_x_ += face_ > 0 ? 6.0f : -6.0f;
+    }
+    float reward = 0.0f;
+    int alive = 0;
+    for (auto& j : jets_) {
+      if (!j.alive) continue;
+      ++alive;
+      j.x += j.dir * (1.8f + 0.3f * wave_);
+      if (j.x < -16 || j.x > kScreenW + 4) { j.x = j.dir > 0 ? -14.0f : (float)kScreenW; }
+      if (rng_.below(150) == 0 && bomb_y_ < 0) { bomb_x_ = j.x; bomb_y_ = j.y; }
+      if (shot_life_ > 0 && std::abs(shot_x_ - j.x - 7) < 9 &&
+          std::abs(shot_y_ - j.y - 3) < 6) {
+        j.alive = false;
+        shot_life_ = 0;
+        reward += 100.0f;
+        continue;
+      }
+      if (std::abs(j.x - x_) < 12 && std::abs(j.y - y_) < 8) {
+        --lives_;
+        if (lives_ <= 0) { over_ = true; return reward; }
+        x_ = 80; y_ = 60;
+        return reward;
+      }
+    }
+    if (bomb_y_ >= 0) {
+      bomb_y_ += 2.5f;
+      if (bomb_y_ >= kTruckY) {
+        for (auto& t : trucks_)
+          if (t && std::abs(bomb_x_ - t) < 10) { t = 0; break; }
+        bomb_y_ = -1;
+      } else if (std::abs(bomb_x_ - x_) < 8 && std::abs(bomb_y_ - y_) < 8) {
+        bomb_y_ = -1;
+        --lives_;
+        if (lives_ <= 0) { over_ = true; return reward; }
+      }
+    }
+    if (alive == 0) {
+      int trucks_left = 0;
+      for (int t : trucks_) trucks_left += t != 0;
+      reward += 50.0f * trucks_left;  // convoy bonus
+      wave_ = std::min(wave_ + 1, 5);
+      new_wave();
+    }
+    return reward;
+  }
+
+  void screen(uint8_t* out) const override {
+    Canvas c;
+    c.clear(kBg);
+    band(c, lives_);
+    c.rect(kTruckY + 10, 0, 4, kScreenW, kMid);  // desert floor
+    for (int t : trucks_)
+      if (t) c.rect(kTruckY, t - 6, 8, 13, kMid);
+    for (const auto& j : jets_)
+      if (j.alive) c.rect((int)j.y, (int)j.x, 6, 14, (uint8_t)180);
+    if (bomb_y_ >= 0) c.rect((int)bomb_y_, (int)bomb_x_, 4, 3, kMid);
+    if (shot_life_ > 0) c.rect((int)shot_y_, (int)shot_x_, 2, 8, kBright);
+    c.rect(y_, x_, 8, 16, kBright);
+    c.rect(y_ - 3, x_ + 2, 2, 12, kBright);  // rotor
+    std::memcpy(out, c.px, sizeof(c.px));
+  }
+
+  bool game_over() const override { return over_; }
+  int lives() const override { return lives_; }
+  int num_actions() const override { return 18; }
+
+ private:
+  static constexpr int kTruckY = 176;
+  struct Jet { float x, y; int dir; bool alive; };
+
+  void new_wave() {
+    x_ = 80; y_ = 60; face_ = 1;
+    shot_life_ = 0;
+    bomb_y_ = -1;
+    for (int i = 0; i < 4; ++i) trucks_[i] = 30 + i * 26;
+    for (int i = 0; i < 6; ++i) {
+      jets_[i].alive = true;
+      jets_[i].dir = i % 2 ? 1 : -1;
+      jets_[i].x = (float)rng_.below(kScreenW);
+      jets_[i].y = 40.0f + (i % 3) * 30.0f;
+    }
+  }
+
+  Rng rng_{0};
+  Jet jets_[6] = {};
+  int trucks_[4] = {};
+  int x_ = 80, y_ = 60, face_ = 1, shot_life_ = 0;
+  float shot_x_ = 0, shot_y_ = 0, bomb_x_ = 0, bomb_y_ = -1;
+  int wave_ = 1, lives_ = 3;
+  bool over_ = false;
+};
+
+Game* make_game3a(const char* name) {
+  std::string g(name);
+  if (g == "alien") return new Alien();
+  if (g == "amidar") return new Amidar();
+  if (g == "assault") return new Assault();
+  if (g == "asterix") return new Asterix();
+  if (g == "bank_heist") return new BankHeist();
+  if (g == "battle_zone") return new BattleZone();
+  if (g == "chopper_command") return new ChopperCommand();
+  return nullptr;
+}
+
+}  // namespace
+
+Game* make_game3(const char* name) {
+  if (Game* g = make_game3a(name)) return g;
+  return make_game3b(name);
+}
+
+}  // namespace rainbow

@@ -18,7 +18,15 @@ _LIB_PATH = os.path.join(_CPP_DIR, "librainbow_env.so")
 
 GAMES = ("pong", "breakout", "space_invaders", "freeway", "qbert", "boxing",
          "ms_pacman", "asteroids", "seaquest", "kangaroo", "crazy_climber",
-         "frostbite", "demon_attack", "gopher")
+         "frostbite", "demon_attack", "gopher", "alien", "amidar", "assault",
+         "asterix", "bank_heist", "battle_zone", "chopper_command", "hero",
+         "jamesbond", "krull", "kung_fu_master", "private_eye",
+         "road_runner", "up_n_down")
+
+# The 26 games of the Atari-100k benchmark (data-efficient Rainbow paper,
+# reference README.md:72 ref [9]) — all native here; BASELINE config[4].
+ATARI_100K_GAMES = tuple(g for g in GAMES
+                         if g not in ("space_invaders", "asteroids"))
 FRAME = 84
 
 # Static pad sizes for sparse-delta uploads (bounds jit specialisations).
