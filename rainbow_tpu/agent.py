@@ -42,11 +42,17 @@ class AgentState:
 
 def make_optimizer(cfg: RainbowConfig) -> optax.GradientTransformation:
     """Global-norm clip (10) + Adam(6.25e-5, eps 1.5e-4) — reference
-    agent.py:46, agent.py:97-98, main.py:43-47."""
-    return optax.chain(
+    agent.py:46, agent.py:97-98, main.py:43-47.
+
+    optax.flatten runs the whole chain over ONE concatenated vector instead
+    of the 22-leaf params pytree: the global-norm reduce and the Adam
+    moment/param updates become a handful of fused kernels instead of
+    per-leaf chains — the learner round is latency-bound on exactly such
+    small kernels (docs/results_r3). Mathematically identical."""
+    return optax.flatten(optax.chain(
         optax.clip_by_global_norm(cfg.norm_clip),
         optax.adam(cfg.learning_rate, eps=cfg.adam_eps),
-    )
+    ))
 
 
 def init_agent(key: jax.Array, cfg: RainbowConfig,
@@ -228,6 +234,43 @@ def learn_step(agent: AgentState, rep: replay.ReplayState,
                                    jax.lax.stop_gradient(losses),
                                    cfg.priority_exponent)
     return agent, rep, losses.mean()
+
+
+def adapt_opt_state(agent: AgentState, cfg: RainbowConfig) -> AgentState:
+    """Make a restored optimizer state compatible with the current
+    optimizer structure. Pre-flatten checkpoints stored per-leaf Adam
+    moments; the flattened optimizer stores them as one ravelled vector —
+    convert (ravel in the same order, preserving the exact moments) when
+    possible, else re-initialise with a warning (losing only the Adam
+    moments, not params/replay/T)."""
+    opt = make_optimizer(cfg)
+    fresh = opt.init(agent.params)
+    def shape_tree(t):
+        return jax.tree_util.tree_structure(t)
+    if shape_tree(agent.opt_state) == shape_tree(fresh):
+        return agent
+    try:
+        from jax.flatten_util import ravel_pytree
+
+        def convert(node):
+            if hasattr(node, "mu") and hasattr(node, "nu"):
+                return node._replace(mu=ravel_pytree(node.mu)[0],
+                                     nu=ravel_pytree(node.nu)[0])
+            if hasattr(node, "_fields"):  # other namedtuple states
+                return type(node)(*(convert(x) for x in node))
+            if isinstance(node, tuple):
+                return tuple(convert(x) for x in node)
+            return node
+
+        new_state = convert(agent.opt_state)
+        if shape_tree(new_state) != shape_tree(fresh):
+            raise ValueError("structure still differs after conversion")
+        return agent.replace(opt_state=new_state)
+    except Exception as e:
+        from rainbow_tpu.utils.logging import log
+        log(f"optimizer state incompatible with checkpoint ({e!r}); "
+            f"re-initialising Adam moments")
+        return agent.replace(opt_state=fresh)
 
 
 _copy_tree = jax.jit(lambda p: jax.tree.map(jnp.copy, p))

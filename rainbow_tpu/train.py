@@ -634,12 +634,14 @@ class Trainer:
             st = ckpt.load_pytree(base)
             from rainbow_tpu.parallel.multihost import (globalize_agent,
                                                         globalize_replay)
-            self.agent = globalize_agent(self.mesh, st["agent"])
+            self.agent = globalize_agent(
+                self.mesh, ag.adapt_opt_state(st["agent"], self.cfg))
             if "replay" in st:
                 self.rep = globalize_replay(self.mesh, st["replay"])
         else:
             st = ckpt.load_pytree(path)
-            self.agent = jax.tree.map(jnp.asarray, st["agent"])
+            self.agent = ag.adapt_opt_state(
+                jax.tree.map(jnp.asarray, st["agent"]), self.cfg)
             if "replay" in st:
                 self.rep = jax.tree.map(jnp.asarray, st["replay"])
             if self._dist_learn is not None:  # re-apply the DP shardings
@@ -657,20 +659,40 @@ class Trainer:
             num_envs=num_envs, training=training, seed_offset=1234)
 
     def evaluate_now(self, val_states, evaluate_only=False):
-        """Evaluate the current policy. Multi-process: every process runs the
-        SAME eval (identical replicated params, identical eval-env seeds, the
-        same loop_key stream), so the metrics agree everywhere without any
-        collective; only process 0 writes artifacts."""
+        """Evaluate the current policy. Multi-process: only the CHIEF rolls
+        the eval episodes + validation-Q (running the same eval on every
+        process was correct but wasteful — VERDICT r2); the scalar metrics
+        and per-episode/state vectors are broadcast so every process records
+        identical metrics (checkpoints stay consistent everywhere)."""
         self.loop_key, k = ag.split2(self.loop_key)
         if self.multi_process:
             # The training loop's key is a replicated GLOBAL array once the
             # fused SPMD program has run; evaluation is process-local jit, so
             # collapse to this host's copy (identical everywhere).
+            from jax.experimental import multihost_utils
+
             from rainbow_tpu.parallel.multihost import local_value
             k = local_value(k)
-        avg_r, avg_q, rewards, qs = ev.evaluate(
-            self.cfg, self._eval_params(), self.action_space,
-            self._eval_env_factory(), val_states, k)
+            n_ep = self.cfg.evaluation_episodes
+            n_q = int(val_states.shape[0])
+            if self.is_chief:
+                avg_r, avg_q, rewards, qs = ev.evaluate(
+                    self.cfg, self._eval_params(), self.action_space,
+                    self._eval_env_factory(), val_states, k)
+                payload = (np.asarray(rewards, np.float32).reshape(n_ep),
+                           np.asarray(qs, np.float32).reshape(n_q))
+            else:
+                payload = (np.zeros(n_ep, np.float32),
+                           np.zeros(n_q, np.float32))
+            rewards_a, qs_a = multihost_utils.broadcast_one_to_all(payload)
+            rewards = np.asarray(rewards_a).tolist()
+            qs = np.asarray(qs_a).tolist()
+            avg_r = float(np.mean(rewards))
+            avg_q = float(np.mean(qs))
+        else:
+            avg_r, avg_q, rewards, qs = ev.evaluate(
+                self.cfg, self._eval_params(), self.action_space,
+                self._eval_env_factory(), val_states, k)
         if not evaluate_only:
             self._apply_eval_result(self.T, self._eval_params(), avg_r,
                                     avg_q, rewards, qs)

@@ -67,3 +67,45 @@ def test_sharded_leaf_roundtrip_single_process(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["x"]), np.asarray(x))
     assert float(back["r"]) == 3.5
     assert mask == {"x": False, "r": False}  # fully addressable: complete
+
+
+def test_restore_preflatten_optimizer_state(tmp_path):
+    """Checkpoints written before the flattened optimizer (per-leaf Adam
+    moments) must restore into the flat structure with the moments intact
+    (ravelled in the same order), not re-initialised."""
+    import optax
+    from jax.flatten_util import ravel_pytree
+
+    import rainbow_tpu
+    from rainbow_tpu import agent as ag
+    from rainbow_tpu import checkpoint as ckpt
+
+    cfg = rainbow_tpu.data_efficient(num_envs=2, memory_capacity=2 * 64,
+                                     hidden_size=16, multi_step=3)
+    agent = ag.init_agent(jax.random.key(0), cfg, 4)
+    # Fabricate the legacy structure: unflattened chain(clip, adam) with
+    # distinctive nonzero moments.
+    legacy_opt = optax.chain(
+        optax.clip_by_global_norm(cfg.norm_clip),
+        optax.adam(cfg.learning_rate, eps=cfg.adam_eps))
+    legacy_state = legacy_opt.init(agent.params)
+    adam_inner = legacy_state[1][0]._replace(
+        mu=jax.tree.map(lambda p: jnp.full_like(p, 0.25), agent.params),
+        nu=jax.tree.map(lambda p: jnp.full_like(p, 0.5), agent.params))
+    legacy_state = (legacy_state[0],
+                    (adam_inner,) + tuple(legacy_state[1][1:]))
+    agent_legacy = agent.replace(opt_state=legacy_state)
+    path = str(tmp_path / "legacy.npz")
+    ckpt.save_pytree(path, {"agent": agent_legacy})
+    restored = ckpt.load_pytree(path)["agent"]
+    adapted = ag.adapt_opt_state(
+        jax.tree.map(jnp.asarray, restored), cfg)
+    fresh = ag.make_optimizer(cfg).init(agent.params)
+    assert jax.tree_util.tree_structure(adapted.opt_state) == \
+        jax.tree_util.tree_structure(fresh)
+    expect_mu = ravel_pytree(adam_inner.mu)[0]
+    np.testing.assert_allclose(np.asarray(adapted.opt_state[1][0].mu),
+                               np.asarray(expect_mu))
+    # And the adapted state must be immediately usable.
+    grads = jax.tree.map(jnp.ones_like, agent.params)
+    ag.apply_grads(adapted, cfg, grads, adapted.rng)
