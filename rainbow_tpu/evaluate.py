@@ -66,6 +66,20 @@ def _eval_act(params, cfg: RainbowConfig, action_space: int, stack,
     return actions, key
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "action_space"),
+                   donate_argnames=("stack",))
+def _eval_step(params, cfg: RainbowConfig, action_space: int, stack,
+               key: jax.Array, obs, resets, kinds):
+    """Fused per-step eval program: frame-stack advance for the step that
+    just ran + next-action selection — ONE dispatch per eval step instead of
+    two (each dispatch costs ~tunnel-RTT on remote backends)."""
+    stack = update_framestack(stack, obs, resets, kinds)
+    key, k = jax.random.split(key)
+    actions = ag.act_e_greedy(params, cfg, action_space,
+                              to_network_input(stack), k, cfg.eval_epsilon)
+    return actions, stack, key
+
+
 _eval_update = jax.jit(update_framestack)
 
 
@@ -84,13 +98,14 @@ def run_episodes(cfg: RainbowConfig, params, action_space: int, make_env,
     # Safety cap: max_episode_length raw frames / 4 per agent step, plus slack.
     max_iters = (cfg.max_episode_length or 10 ** 9) // 4 + 100
     it = 0
+    actions, key = _eval_act(params, cfg, action_space, stack, key)
     while not finished.all() and it < max_iters:
-        actions, key = _eval_act(params, cfg, action_space, stack, key)
         obs, resets, rewards, dones, kinds = env.step(np.asarray(actions))
         totals += np.where(finished, 0.0, rewards)
         finished |= dones.astype(bool)
-        stack = _eval_update(stack, jnp.asarray(obs), jnp.asarray(resets),
-                             jnp.asarray(kinds))
+        actions, stack, key = _eval_step(
+            params, cfg, action_space, stack, key, jnp.asarray(obs),
+            jnp.asarray(resets), jnp.asarray(kinds))
         if render_dir and not finished[0]:
             _save_frame(render_dir, it, obs[0])
         it += 1

@@ -126,6 +126,8 @@ def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
         use_pallas = getattr(cfg, "use_pallas_head", False)
     if per_sample_noise and noise_key is not None:
         use_pallas = False  # the fused head draws one shared noise sample
+    if noise_eps is not None:
+        use_pallas = False  # pre-drawn round noise uses the XLA layers
     if use_pallas:
         from rainbow_tpu.ops.pallas_kernels import fused_dueling_head
         return fused_dueling_head(

