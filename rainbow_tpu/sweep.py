@@ -55,12 +55,17 @@ def random_policy_baseline(cfg) -> float:
 
 def run_sweep(argv=None) -> dict:
     parser = build_parser()
-    parser.add_argument("--games", nargs="*", default=list(GAMES))
+    parser.add_argument("--games", nargs="*", default=list(GAMES),
+                        help="game list; the single token 'atari100k' "
+                             "expands to the 26-game Atari-100k suite")
     parser.add_argument("--shard-index", type=int,
                         default=int(os.environ.get("RAINBOW_PROC_INDEX", 0)))
     parser.add_argument("--shard-count", type=int,
                         default=int(os.environ.get("RAINBOW_PROC_COUNT", 1)))
     args = parser.parse_args(argv)
+    if args.games == ["atari100k"]:
+        from rainbow_tpu.envs.engine import ATARI_100K_GAMES
+        args.games = list(ATARI_100K_GAMES)
     cfg = cfg_mod.PRESETS[args.preset]()
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and hasattr(cfg, k)
