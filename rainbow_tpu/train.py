@@ -946,8 +946,14 @@ class Trainer:
             now = _time.time()
             if now - last_log_t > 60 and self.is_chief:  # throughput heartbeat
                 sps = (self.T - last_log_T) / (now - last_log_t)
-                loss_s = "" if self._last_loss is None else \
-                    f" | loss: {float(np.asarray(self._last_loss)):.4f}"
+                if self._last_loss is None:
+                    loss_s = ""
+                else:
+                    lv = self._last_loss
+                    if self.multi_process:  # replicated global -> local copy
+                        from rainbow_tpu.parallel.multihost import local_value
+                        lv = local_value(lv)
+                    loss_s = f" | loss: {float(np.asarray(lv)):.4f}"
                 log(f"T = {self.T} | {sps:.0f} env-steps/s{loss_s} | "
                     f"{self.timer.summary()}")
                 last_log_t, last_log_T = now, self.T
