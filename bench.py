@@ -10,7 +10,10 @@ hardware in the same process. Learner updates/s is measured too and reported
 on stderr.
 
 Env knobs: BENCH_ENVS (default 1024), BENCH_ITERS (default 60),
-BENCH_GAME (default pong), BENCH_PLATFORM (force e.g. cpu).
+BENCH_GAME (default pong), BENCH_PLATFORM (force e.g. cpu),
+BENCH_SETTLE (train-mode in-flight window, default 2 — see bench_train),
+BENCH_DEPTH (action-pipeline depth, default 3), BENCH_TRAIN_VERBOSE
+(per-iteration train-mode timings on stderr).
 """
 from __future__ import annotations
 
@@ -309,9 +312,24 @@ def bench_train(cfg, game, num_envs, iters, depth=3, delta=True):
     for _ in range(4):
         loss = one_iter(learns_per_iter)
     np.asarray(loss)  # REAL settlement (see bench_learner note)
+    verbose = os.environ.get("BENCH_TRAIN_VERBOSE")
+    # Bounded in-flight window: settle the loss of iteration i-W at
+    # iteration i. Unbounded async dispatch (the r2 structure) collapses
+    # ~3x on the remote runtime — queueing many un-settled fused programs
+    # with their uploads degrades device-side scheduling (measured 1.2 s vs
+    # 0.35 s per identical iteration). W=1 keeps one program executing
+    # while the next one's engine step + staging proceed on the host.
+    window = int(os.environ.get("BENCH_SETTLE", 2))
+    settle_q = deque()
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
+        ti = time.perf_counter()
         loss = one_iter(learns_per_iter)
+        settle_q.append(loss)
+        if len(settle_q) > window:
+            np.asarray(settle_q.popleft())
+        if verbose:
+            info(f"  iter {i}: {(time.perf_counter() - ti) * 1000:.1f} ms")
     loss = float(np.asarray(loss))
     dt = time.perf_counter() - t0
     fut2["f"].result()

@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="send observations as sparse pixel deltas "
                         "(lossless; cuts host->device payload)")
     p.add_argument("--pipeline-depth", type=int, default=None)
+    p.add_argument("--settle-window", type=int, default=None,
+                   help="max in-flight fused iterations before the loop "
+                        "settles the oldest (see config.settle_window)")
     p.add_argument("--data-parallel", action="store_true", default=None)
     p.add_argument("--use-pallas-head", action="store_true", default=None)
     p.add_argument("--per-env-noise", action="store_true", default=None,

@@ -96,6 +96,16 @@ class RainbowConfig:
     # and Adam remain exactly per-update. Within-round priority staleness is
     # the Ape-X/distributed-PER regime; at batched env counts a "round" IS
     # one algorithm iteration.
+    settle_window: int = 2             # max fused iterations in flight
+    # before the loop settles the oldest one's output (device→host value
+    # fetch, a real data dependency). Unbounded async dispatch collapses
+    # ~3x on remote-dispatch runtimes: queueing many un-settled fused
+    # programs with their uploads degrades device-side scheduling (measured
+    # per identical 1024-env iteration: unbounded 1.2 s, window 1 → 0.40 s,
+    # window 2 → 0.35 s). 0 is fully serial; large values restore the
+    # unbounded r2 behavior. NOTE the depth-D action queue already settles
+    # the program from D iterations back (its action fetch), so this knob
+    # only bites when pipeline_depth > settle_window.
     data_parallel: bool = False        # shard envs/replay over all local
     # devices ('data' mesh): replicated agent, per-device replay shards,
     # psum-mean gradients (parallel/learner.py). Requires num_envs and

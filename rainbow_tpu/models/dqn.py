@@ -116,8 +116,10 @@ def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
     noisy layers (split 4-ways); None = eval/μ-only mode.
     per_sample_noise: independent noise per batch row (see models/noisy.py).
 
-    use_pallas overrides cfg.use_pallas_head (the fused head kernel has no
-    VJP, so gradient-path callers pass use_pallas=False).
+    use_pallas overrides cfg.use_pallas_head (the fused head kernel carries a
+    custom VJP — see ops/pallas_kernels.py — so it applies to the gradient
+    path too; it is bypassed for per-sample and pre-drawn-round noise, which
+    the kernel's one-shared-noise-sample formulation cannot express).
     """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     x = x.astype(compute_dtype)

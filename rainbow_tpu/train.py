@@ -940,6 +940,7 @@ class Trainer:
             if cfg.memory_path is not None else float("inf")
         profiling = False
         self._last_loss = None
+        self._settle_q = deque()
         import time as _time
         last_log_t, last_log_T = _time.time(), self.T
         while self.T < cfg.total_steps:
@@ -1004,6 +1005,24 @@ class Trainer:
                 a_new.copy_to_host_async()
                 action_queue.append(a_new)
                 self.timer.stop("actor")
+                # Bounded in-flight window (cfg.settle_window): settle the
+                # iteration from W back via a real device→host value fetch.
+                # The depth-D action queue alone bounds in-flight programs
+                # at D, which for D>=2 already triggers the remote
+                # runtime's queueing collapse (bench.py bench_train: 1.2 s
+                # vs 0.35 s per identical 1024-env iteration) — this keeps
+                # deep action pipelines (cheap fetches) while capping
+                # un-settled programs independently.
+                self.timer.start("settle")
+                self._settle_q.append(self._last_loss if num_learns
+                                      else a_new)
+                if len(self._settle_q) > max(cfg.settle_window, 0):
+                    h = self._settle_q.popleft()
+                    if fused_mp:
+                        jax.block_until_ready(h)
+                    else:
+                        np.asarray(h)
+                self.timer.stop("settle")
             elif fused:
                 self.timer.start("env")
                 staged = (stage_args_mp if fused_mp else stage_args)(acts_np)

@@ -46,6 +46,20 @@ def test_full_training_loop_fake_env(tmp_path, pipeline):
     assert m["best_avg_reward"] == metrics["best_avg_reward"]
 
 
+@pytest.mark.parametrize("window", [0, 1])
+def test_deep_pipeline_with_settle_window(tmp_path, window):
+    """pipeline_depth > settle_window: the fused loop must bound in-flight
+    programs via the settle queue (train.py settle_window) and still train
+    to completion with correct artifacts."""
+    cfg = tiny_cfg(tmp_path, pipeline_actor=True, pipeline_depth=3,
+                   settle_window=window)
+    tr = Trainer(cfg)
+    metrics = tr.run()
+    assert tr.T >= cfg.total_steps
+    assert len(metrics["steps"]) >= 1
+    assert not tr._settle_q or len(tr._settle_q) <= max(window, 0) + 1
+
+
 def test_checkpoint_resume_exact(tmp_path):
     """Full-state checkpoint restores agent params, T and metrics exactly
     (the reference loses optimiser/T/β on resume — SURVEY.md §3.4)."""
