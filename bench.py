@@ -325,6 +325,7 @@ def bench_train(cfg, game, num_envs, iters, depth=3, delta=True):
     for i in range(iters):
         ti = time.perf_counter()
         loss = one_iter(learns_per_iter)
+        loss.copy_to_host_async()  # async: the pop below finds it landed
         settle_q.append(loss)
         if len(settle_q) > window:
             np.asarray(settle_q.popleft())

@@ -1014,8 +1014,12 @@ class Trainer:
                 # deep action pipelines (cheap fetches) while capping
                 # un-settled programs independently.
                 self.timer.start("settle")
-                self._settle_q.append(self._last_loss if num_learns
-                                      else a_new)
+                h_new = self._last_loss if num_learns else a_new
+                if not fused_mp:
+                    h_new.copy_to_host_async()  # value lands while later
+                    # programs run; the pop below then completes without
+                    # paying a device->host round trip of its own
+                self._settle_q.append(h_new)
                 if len(self._settle_q) > max(cfg.settle_window, 0):
                     h = self._settle_q.popleft()
                     if fused_mp:
