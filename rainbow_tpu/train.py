@@ -728,12 +728,25 @@ class Trainer:
     # eval programs are tiny next to a fused train iteration — while the
     # training loop keeps dispatching. Results are drained in T-order on the
     # main thread (single eval worker => FIFO).
-    def _eval_async_start(self, val_states):
+    def _eval_async_start(self, val_states, force=False):
         import queue as _queue
         if not hasattr(self, "_eval_pool"):
             self._eval_pool = ThreadPoolExecutor(1)
             self._eval_results = _queue.Queue()
             self._eval_futs = []
+        # Coalesce: an evaluation is RTT-bound (one fused dispatch per
+        # episode step), so on high-latency links it can outlast the
+        # evaluation interval's worth of training. Queueing every interval
+        # then builds an unbounded backlog that the end-of-run drain pays
+        # serially (observed: a 4-minute 100k-step run followed by ~10
+        # queued evals of minutes each). Skip this interval when one is
+        # still in flight; the final eval (force=True) always runs.
+        if not force and any(not f.done() for f in self._eval_futs):
+            self._eval_skipped_since = self.T
+            log(f"T = {self.T} | evaluation skipped (previous one still "
+                f"running; interval shorter than eval wall time)")
+            return
+        self._eval_skipped_since = None
         self.loop_key, k = ag.split2(self.loop_key)
         params = ag._copy_tree(self._eval_params())
         T = self.T
@@ -1129,6 +1142,12 @@ class Trainer:
             fut.result()  # drain the in-flight engine step before close
         if pool is not None:
             pool.shutdown()
+        if getattr(self, "_eval_skipped_since", None) is not None:
+            # Coalescing skipped at least one scheduled evaluation since the
+            # last one ran — close the run with a final forced eval so the
+            # end-of-training policy is always measured (the reference's
+            # last eval lands at T_max, main.py:166).
+            self._eval_async_start(val_states, force=True)
         self._eval_async_drain(wait=True)  # land any in-flight evaluations
         self.env.close()
         return self.metrics

@@ -60,6 +60,37 @@ def test_deep_pipeline_with_settle_window(tmp_path, window):
     assert not tr._settle_q or len(tr._settle_q) <= max(window, 0) + 1
 
 
+def test_async_eval_coalesces_and_forces_final(tmp_path, monkeypatch):
+    """async_eval: when an evaluation outlasts the evaluation interval the
+    loop must SKIP the overlapping ones (no unbounded backlog for the
+    end-of-run drain to pay serially) and close the run with one forced
+    final eval so the end-of-training policy is always measured."""
+    import time as _t
+
+    from rainbow_tpu import evaluate as ev_mod
+    from rainbow_tpu import train as train_mod
+
+    real_evaluate = ev_mod.evaluate
+    calls = []
+
+    def slow_evaluate(*a, **kw):
+        calls.append(_t.time())
+        _t.sleep(1.5)  # outlast several 64-step intervals
+        return real_evaluate(*a, **kw)
+
+    monkeypatch.setattr(train_mod.ev, "evaluate", slow_evaluate)
+    cfg = tiny_cfg(tmp_path, async_eval=True, evaluation_interval=64,
+                   total_steps=512, learn_start=64)
+    tr = Trainer(cfg)
+    metrics = tr.run()
+    assert tr.T >= cfg.total_steps
+    # 512/64 = 8 scheduled evals; the slow eval must have coalesced them
+    # well below that, and at least the first + the forced final ran.
+    assert 2 <= len(calls) < 8, calls
+    assert len(metrics["steps"]) == len(calls)
+    assert metrics["steps"][-1] == tr.T  # forced final at end-of-run T
+
+
 def test_checkpoint_resume_exact(tmp_path):
     """Full-state checkpoint restores agent params, T and metrics exactly
     (the reference loses optimiser/T/β on resume — SURVEY.md §3.4)."""
