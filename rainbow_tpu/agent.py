@@ -122,9 +122,6 @@ def evaluate_q(params: dict, cfg: RainbowConfig, action_space: int,
 
 def _loss_fn(params, cfg, action_space, support, batch, online_noise_key,
              noise_eps=None):
-    # The fused Pallas head carries a custom VJP (ops/pallas_kernels.py), so
-    # cfg.use_pallas_head governs the gradient path too (key-based noise
-    # only; the batched round's pre-drawn noise uses the XLA layers).
     log_ps = apply_dqn(params, cfg, action_space, batch["states"],
                        online_noise_key, log=True, noise_eps=noise_eps)
     log_ps_a = jnp.take_along_axis(

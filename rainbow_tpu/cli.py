@@ -80,7 +80,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max in-flight fused iterations before the loop "
                         "settles the oldest (see config.settle_window)")
     p.add_argument("--data-parallel", action="store_true", default=None)
-    p.add_argument("--use-pallas-head", action="store_true", default=None)
     p.add_argument("--per-env-noise", action="store_true", default=None,
                    help="independent NoisyNet draw per env at act time "
                         "(decorrelated batched exploration)")

@@ -65,7 +65,6 @@ class RainbowConfig:
     num_envs: int = 64                 # batched-ALE engine width per host
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16' network compute
     env_backend: str = "native"        # 'native' (C++ engine) | 'fake' (python fixture)
-    use_pallas_head: bool = False      # fused noisy-dueling-head Pallas kernel
     per_env_noise: bool = False        # independent NoisyNet draw per env row
     # at act time (decorrelated batched exploration). Off = one shared noise
     # sample for the whole act batch — the reference's single-env semantics.

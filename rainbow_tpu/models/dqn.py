@@ -106,7 +106,6 @@ def draw_noise(cfg, action_space: int, key: jax.Array, lead=()) -> dict:
 def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
               noise_key: Optional[jax.Array] = None,
               log: bool = False,
-              use_pallas: Optional[bool] = None,
               per_sample_noise: bool = False,
               noise_eps: Optional[dict] = None) -> jax.Array:
     """Forward pass: (B, 84, 84, history) NHWC float → (B, A, atoms).
@@ -116,26 +115,20 @@ def apply_dqn(params: dict, cfg, action_space: int, x: jax.Array,
     noisy layers (split 4-ways); None = eval/μ-only mode.
     per_sample_noise: independent noise per batch row (see models/noisy.py).
 
-    use_pallas overrides cfg.use_pallas_head (the fused head kernel carries a
-    custom VJP — see ops/pallas_kernels.py — so it applies to the gradient
-    path too; it is bypassed for per-sample and pre-drawn-round noise, which
-    the kernel's one-shared-noise-sample formulation cannot express).
+    The head runs as plain XLA deliberately. A monolithic fused Pallas head
+    (noisy matmuls + dueling combine + atom softmax in one VMEM-resident
+    kernel, with a custom VJP) was built and measured on the v5e in round 3:
+    the canonical head's fp32 weights alone are 25.6 MB — over the 16 MB
+    scoped-VMEM budget — so it cannot compile at act-path batches (≥256),
+    and at B≤128 where it fits it measured parity with XLA's fused schedule
+    (0.9-1.3 ms per dispatch both ways, within run noise; grad path
+    2.6 → 2.1 ms, also within noise across runs). XLA saturates this head;
+    the kernel and its flag were removed (docs/results_r3/README.md §"Pallas
+    close-out" has the full numbers).
     """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     x = x.astype(compute_dtype)
     feat = _torso(params, cfg, x)
-    if use_pallas is None:
-        use_pallas = getattr(cfg, "use_pallas_head", False)
-    if per_sample_noise and noise_key is not None:
-        use_pallas = False  # the fused head draws one shared noise sample
-    if noise_eps is not None:
-        use_pallas = False  # pre-drawn round noise uses the XLA layers
-    if use_pallas:
-        from rainbow_tpu.ops.pallas_kernels import fused_dueling_head
-        return fused_dueling_head(
-            feat.astype(jnp.float32), params, noise_key, atoms=cfg.atoms,
-            action_space=action_space, hidden=cfg.hidden_size, log=log,
-            interpret=jax.default_backend() == "cpu")
     if noise_key is None or noise_eps is not None:
         k_hv = k_ha = k_zv = k_za = None
     else:
