@@ -87,6 +87,18 @@ void resize_bilinear(const uint8_t* src, uint8_t* dst) {
   }
 }
 
+// Two-frame observation pooling, reference order (env.py:60-67): resize
+// EACH raw frame to 84x84 first, then elementwise max of the resized pair.
+// max(resize(a), resize(b)) != resize(max(a, b)) under bilinear, so the
+// order is part of the observation contract (pinned by test_engine.py).
+void pool_resize_pair(const uint8_t* a, const uint8_t* b, uint8_t* out) {
+  uint8_t small_a[kFrame2];
+  resize_bilinear(a, small_a);
+  resize_bilinear(b, out);
+  for (int i = 0; i < kFrame2; ++i)
+    if (small_a[i] > out[i]) out[i] = small_a[i];
+}
+
 struct EnvSlot {
   Game* game = nullptr;
   Rng rng{0};
@@ -267,16 +279,21 @@ class Engine {
       else if (t == 3) { s.game->screen(f3); have3 = true; }
       if (env_over(e)) { d = true; break; }
     }
+    // Reference order (env.py:60-67): resize EACH raw frame to 84x84 first,
+    // then max-pool the two resized frames. max(resize(a), resize(b)) !=
+    // resize(max(a, b)) under bilinear, so the order is part of the
+    // observation contract (pinned by test_engine.py via renv_pool_resize).
     if (have2 && have3) {
-      for (int i = 0; i < kScreenH * kScreenW; ++i)
-        f3[i] = f3[i] > f2[i] ? f3[i] : f2[i];
+      pool_resize_pair(f2, f3, obs);
     } else if (have2 && !have3) {
-      std::memcpy(f3, f2, kScreenH * kScreenW);
+      resize_bilinear(f2, obs);
     } else if (!have2 && !have3) {
-      std::memset(f3, 0, kScreenH * kScreenW);  // early break: zero frame,
-      // matching the reference's zero-initialised frame_buffer (env.py:56)
+      // Early break before either grab: zero frame, matching the
+      // reference's zero-initialised frame_buffer (env.py:56).
+      std::memset(obs, 0, kFrame2);
+    } else {
+      resize_bilinear(f3, obs);
     }
-    resize_bilinear(f3, obs);
 
     // Life-loss pseudo-terminal in training mode (reference env.py:69-75).
     uint8_t kind = 0;
@@ -441,6 +458,13 @@ void renv_resize(const uint8_t* src, uint8_t* dst) {
   rainbow::resize_bilinear(src, dst);
 }
 
+// Test hook: the engine's two-frame observation pooling — resize each raw
+// frame, then elementwise max of the resized pair (the reference's order,
+// env.py:60-67; NOT resize(max(a,b))).
+void renv_pool_resize(const uint8_t* a, const uint8_t* b, uint8_t* dst) {
+  rainbow::pool_resize_pair(a, b, dst);
+}
+
 // Test hook: step a standalone game instance through a raw action sequence
 // and return its 210x160 screen — game-level probe bypassing the episode
 // semantics (no no-op starts, no action repeat), for behavior tests such as
@@ -455,6 +479,39 @@ int renv_game_probe(const char* game, uint64_t seed, const int32_t* actions,
   int na = g->num_actions();
   delete g;
   return na;
+}
+
+// Oracle runner: play `episodes` full episodes of `game` with the game's
+// built-in perfect-information scripted policy (Game::oracle_action) and
+// write each episode's raw (unclipped) reward sum to ep_rewards. Bounds what
+// any learned agent can achieve on the native stand-in games (round-4
+// verdict item 1a). frame_granular=0 picks one action per ×4-frame agent
+// step (the constraint a real agent plays under, reference env.py:54-58);
+// frame_granular=1 re-picks every raw frame (the pure physics bound).
+// Returns 0, or -1 for an unknown game, -2 when the game has no oracle.
+int renv_oracle_run(const char* game, uint64_t seed, int episodes,
+                    int max_frames, int frame_granular, float* ep_rewards) {
+  rainbow::Game* g = rainbow::make_game(game);
+  if (!g) return -1;
+  g->reset(seed);
+  if (g->oracle_action() < 0) { delete g; return -2; }
+  rainbow::Rng rng(seed ^ 0xabcdef12345ULL);
+  for (int ep = 0; ep < episodes; ++ep) {
+    g->reset(rng.next());
+    float total = 0.0f;
+    int frames = 0;
+    while (!g->game_over() && frames < max_frames) {
+      int action = g->oracle_action();
+      const int repeat = frame_granular ? 1 : 4;
+      for (int t = 0; t < repeat && !g->game_over(); ++t) {
+        total += g->act(action);
+        ++frames;
+      }
+    }
+    ep_rewards[ep] = total;
+  }
+  delete g;
+  return 0;
 }
 
 void renv_step(void* h, const int32_t* actions, uint8_t* obs,

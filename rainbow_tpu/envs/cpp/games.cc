@@ -43,10 +43,25 @@ class Pong final : public Game {
     if (action == 3 || action == 5) dy = kPaddleSpeed;
     me_y_ = clampy(me_y_ + dy);
 
-    // CPU paddle tracks the ball with capped speed (beatable).
-    float target = by_ - kPaddleH / 2 + 1;
-    float cdy = std::clamp(target - cpu_y_, -kCpuSpeed, kCpuSpeed);
-    cpu_y_ = clampy(cpu_y_ + cdy);
+    // CPU paddle — ALE-style opponent. The real pong computer follows the
+    // ball with lag and a hard speed cap and cannot chase angled returns;
+    // skilled play beats it 21-0 (the reference's released curves reach
+    // +19..21, reference README.md:7). Round 3's tracker (full-speed
+    // continuous pursuit) was measurably stronger than any ALE opponent:
+    // the perfect-information oracle (oracle_action below) averaged only
+    // +4 against it, capping every learned curve. Now: track the ball only
+    // while it approaches (bvx_ < 0), capped at kCpuSpeed with a small
+    // dead zone; drift back toward centre while the ball moves away.
+    // oracle_run() pins the resulting score bound in tests.
+    if (bvx_ < 0) {
+      float target = by_ - kPaddleH / 2 + 1;
+      float d = target - cpu_y_;
+      if (std::abs(d) > kCpuDeadzone)
+        cpu_y_ = clampy(cpu_y_ + std::clamp(d, -kCpuSpeed, kCpuSpeed));
+    } else {
+      float d = kCpuHome - cpu_y_;
+      cpu_y_ = clampy(cpu_y_ + std::clamp(d, -kCpuDrift, kCpuDrift));
+    }
 
     float reward = 0.0f;
     bx_ += bvx_;
@@ -96,9 +111,75 @@ class Pong final : public Game {
   int lives() const override { return 0; }
   int num_actions() const override { return 6; }
 
+  // Perfect-information scripted policy, used to bound what any agent can
+  // score on this stand-in (round-4 verdict item 1a). Predicts the ball's
+  // intercept at the player plane (wall bounces included), aims the paddle
+  // edge that sends the return away from the CPU paddle's current position,
+  // and plans movement that respects the caller's action granularity (the
+  // engine repeats one action for 4 raw frames, so naive bang-bang control
+  // overshoots by up to 16 px — plan_toward() simulates the next block and
+  // bounds the remainder instead).
+  int oracle_action() const override {
+    if (over_) return 0;
+    if (bvx_ <= 0) {
+      // Ball moving away: re-centre on the ball's row so the next intercept
+      // run starts short. Plenty of time — plan with a generous horizon.
+      float centre = by_ + kBallH / 2.0f - kPaddleH / 2.0f;
+      return plan_toward(centre, 24);
+    }
+    // Predict intercept: ball speed only changes on paddle hits, so a
+    // straight simulation with wall reflection is exact.
+    float x = bx_, y = by_, vy = bvy_;
+    int frames = 0;
+    while (x + kBallW < kMeX && frames < 512) {
+      x += bvx_;
+      y += vy;
+      ++frames;
+      if (y < kTop) { y = kTop; vy = -vy; }
+      if (y > kBot - kBallH) { y = kBot - kBallH; vy = -vy; }
+    }
+    // Aim: send the ball toward whichever wall is farther from the CPU
+    // paddle. rel = +aim bounces down, -aim bounces up (bounce(): bvy_ =
+    // rel * 5). |rel| <= 0.625 still makes paddle contact; 0.35 leaves
+    // ~4.4 px of quantisation margin while beating the CPU's 2.4 px/frame
+    // tracking cap whenever it starts displaced.
+    float cpu_mid = cpu_y_ + kPaddleH / 2.0f;
+    float aim = cpu_mid < (kTop + kBot) / 2.0f ? 0.35f : -0.35f;
+    float target = y + kBallH / 2.0f - (aim + 0.5f) * kPaddleH;
+    // Out of reach? A centred return beats a styled miss.
+    float reach = kPaddleSpeed * frames + kPaddleSpeed;
+    float centred = y + kBallH / 2.0f - kPaddleH / 2.0f;
+    if (std::abs(target - me_y_) > reach) target = centred;
+    return plan_toward(target, frames);
+  }
+
  private:
+  // Choose NOOP/UP/DOWN for the next 4-frame action block: simulate the
+  // block exactly (clamping included), then bound the best-case remainder
+  // at kPaddleSpeed per frame. Ties prefer NOOP (no oscillation).
+  int plan_toward(float target, int frames_left) const {
+    float best_err = 1e9f;
+    int best = 0;
+    const int block = std::min(4, std::max(1, frames_left));
+    for (int a = 0; a < 3; ++a) {
+      float dy = a == 1 ? -kPaddleSpeed : a == 2 ? kPaddleSpeed : 0.0f;
+      float ypos = me_y_;
+      for (int t = 0; t < block; ++t) ypos = clampy(ypos + dy);
+      float err = std::abs(ypos - target);
+      err = std::max(0.0f, err - kPaddleSpeed * (frames_left - block));
+      // Bias slightly toward moving when it strictly reduces this block's
+      // distance — pre-positioning early beats deferring to the last block.
+      if (a != 0 && std::abs(ypos - target) < std::abs(me_y_ - target))
+        err -= 0.5f;
+      if (err < best_err - 1e-4f) { best_err = err; best = a; }
+    }
+    return best == 1 ? 2 : best == 2 ? 3 : 0;  // UP=2, DOWN=3 (minimal set)
+  }
   static constexpr float kPaddleSpeed = 4.0f;
-  static constexpr float kCpuSpeed = 2.4f;
+  static constexpr float kCpuSpeed = 1.7f;   // < max |bvy_| — steep shots win
+  static constexpr float kCpuDrift = 0.8f;   // return-to-centre pace
+  static constexpr float kCpuDeadzone = 2.0f;
+  static constexpr float kCpuHome = 108.0f;  // centred paddle top
   static constexpr int kPaddleH = 16, kPaddleW = 4;
   static constexpr int kBallH = 4, kBallW = 2;
   static constexpr int kTop = 38, kBot = 194;

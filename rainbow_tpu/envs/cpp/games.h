@@ -43,6 +43,10 @@ class Game {
   virtual bool game_over() const = 0;
   virtual int lives() const = 0;
   virtual int num_actions() const = 0;
+  // Perfect-information scripted policy, where a game provides one: the
+  // action a near-optimal player would take now. Used to BOUND what any
+  // learned agent can score (see renv_oracle_run). -1 = no oracle.
+  virtual int oracle_action() const { return -1; }
 };
 
 // Shared drawing helpers over a 210x160 buffer.

@@ -60,6 +60,7 @@ def _load_lib() -> ctypes.CDLL:
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.renv_reset_all.argtypes = [ctypes.c_void_p, u8p]
     lib.renv_resize.argtypes = [u8p, u8p]
+    lib.renv_pool_resize.argtypes = [u8p, u8p, u8p]
     lib.renv_step.argtypes = [ctypes.c_void_p, i32p, u8p, u8p, f32p, u8p, u8p]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
@@ -69,6 +70,10 @@ def _load_lib() -> ctypes.CDLL:
     lib.renv_game_probe.argtypes = [ctypes.c_char_p, ctypes.c_uint64, i32p,
                                     ctypes.c_int, u8p]
     lib.renv_game_probe.restype = ctypes.c_int
+    lib.renv_oracle_run.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                    f32p]
+    lib.renv_oracle_run.restype = ctypes.c_int
     return lib
 
 
@@ -90,6 +95,43 @@ def game_probe(game: str, seed: int, actions: np.ndarray) -> np.ndarray:
     return out
 
 
+def pool_resize(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """The engine's two-frame observation pooling: resize each 210x160 raw
+    frame to 84x84, then elementwise max (the reference's order,
+    env.py:60-67). Test/verification hook."""
+    global _lib
+    if _lib is None:
+        _lib = _load_lib()
+    a = np.ascontiguousarray(a, np.uint8)
+    b = np.ascontiguousarray(b, np.uint8)
+    assert a.shape == b.shape == (210, 160)
+    out = np.empty((FRAME, FRAME), np.uint8)
+    _lib.renv_pool_resize(a, b, out)
+    return out
+
+
+def oracle_run(game: str, seed: int = 0, episodes: int = 10,
+               max_frames: int = int(108e3),
+               frame_granular: bool = False) -> np.ndarray:
+    """Play full episodes with the game's built-in perfect-information
+    scripted policy; returns per-episode raw reward sums. Bounds what any
+    learned agent can score on the native stand-in (the reference's quality
+    bar compares against ALE game dynamics, reference README.md:7 — this
+    pins what OUR dynamics allow). frame_granular=False applies the same
+    x4 action repeat an agent plays under (reference env.py:54-58)."""
+    global _lib
+    if _lib is None:
+        _lib = _load_lib()
+    out = np.empty((episodes,), np.float32)
+    rc = _lib.renv_oracle_run(game.encode(), seed, episodes, max_frames,
+                              int(frame_granular), out)
+    if rc == -1:
+        raise ValueError(f"unknown game {game!r}")
+    if rc == -2:
+        raise NotImplementedError(f"game {game!r} has no oracle policy")
+    return out
+
+
 def resize_bilinear(frame: np.ndarray) -> np.ndarray:
     """The engine's 210x160 -> 84x84 bilinear resize (test/verification hook
     for parity with reference env.py:28 cv2.INTER_LINEAR)."""
@@ -107,8 +149,9 @@ class BatchedEnv:
     """N native environments stepped in lockstep.
 
     step(actions) -> (obs, reset_frames, rewards, dones, reset_kinds):
-    obs uint8 (N, 84, 84) is the step observation (max-pooled over the last
-    two raw frames of the ×4 action repeat); reset_frames uint8 (N, 84, 84)
+    obs uint8 (N, 84, 84) is the step observation (the last two raw frames
+    of the ×4 action repeat, each resized to 84×84, then max-pooled — the
+    reference's order, env.py:60-67); reset_frames uint8 (N, 84, 84)
     is the post-reset frame (valid iff reset_kind > 0); both contiguous so
     no host repack precedes the device transfer.
     reset_kind: 0 = no reset, 1 = life-loss
