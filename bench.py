@@ -44,10 +44,15 @@ def info(msg):
 
 
 def game_action_space(game):
-    return {"pong": 6, "breakout": 4, "space_invaders": 6, "freeway": 3,
-            "qbert": 6, "boxing": 18, "ms_pacman": 9, "asteroids": 14,
-            "seaquest": 18, "kangaroo": 18, "crazy_climber": 9,
-            "frostbite": 18, "demon_attack": 6, "gopher": 8}[game]
+    """Ask the engine (it knows every catalogued game's minimal action set —
+    the old hardcoded 14-game map KeyError'd on newer games)."""
+    from rainbow_tpu.envs import engine
+
+    probe = engine.BatchedEnv(game, num_envs=1, seed=0)
+    try:
+        return probe.action_space
+    finally:
+        probe.close()
 
 
 # ---- analytic flops / MFU accounting (VERDICT r2 item 2) -------------------

@@ -5,4 +5,4 @@ Brand-new re-architecture of the capability set of Kaixhin/Rainbow
 """
 from rainbow_tpu.config import RainbowConfig, canonical, data_efficient
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

@@ -22,7 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "Atari-100k data-efficient, README.md:25-36)")
     p.add_argument("--id", dest="run_id", default="default")
     p.add_argument("--seed", type=int, default=123)
-    p.add_argument("--game", default="pong")
+    # Constrained to the engine catalogue, like the reference's
+    # choices=atari_py.list_games() (main.py:25) — errors at parse time
+    # instead of later from BatchedEnv.
+    from rainbow_tpu.envs.engine import GAMES
+    p.add_argument("--game", default="pong", choices=sorted(GAMES))
     p.add_argument("--T-max", dest="total_steps", type=int, default=None,
                    metavar="STEPS")
     p.add_argument("--max-episode-length", type=int, default=None)

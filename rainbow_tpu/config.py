@@ -64,6 +64,12 @@ class RainbowConfig:
     # TPU-native knobs (no reference equivalent)
     num_envs: int = 64                 # batched-ALE engine width per host
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16' network compute
+    adam_mu_dtype: str = "float32"     # 'float32' | 'bfloat16' Adam FIRST
+    # moment storage. The learner's HBM floor is optimizer-state traffic
+    # (~196 MB/update fp32, docs/results_r3 §6); bf16 mu cuts the m-term in
+    # half with β1=0.9 increments (0.1·g) comfortably above bf16 ulp. The
+    # SECOND moment stays fp32 always: its (1-β2)=1e-3 increments fall below
+    # bf16 ulp at steady state, so a bf16 nu would silently freeze.
     env_backend: str = "native"        # 'native' (C++ engine) | 'fake' (python fixture)
     per_env_noise: bool = False        # independent NoisyNet draw per env row
     # at act time (decorrelated batched exploration). Off = one shared noise
@@ -116,6 +122,12 @@ class RainbowConfig:
     # batched-actor throughputs an inline eval stalls training for minutes).
     # Metrics/plots/best-model saves land when the eval finishes, tagged
     # with the step T the snapshot was taken at.
+    max_pending_evals: int = 4         # async-eval backlog bound: each
+    # scheduled eval snapshots the params at its T and queues; beyond this
+    # many waiting snapshots the interval is skipped instead (recorded in
+    # metrics['skipped_evals']). Bounds the end-of-run drain on links where
+    # one eval outlasts the eval interval, while guaranteeing short suite
+    # runs keep near-full curve density (VERDICT r3 weak #4).
 
     # Observability
     render: bool = False               # save eval-episode frames as PNGs
