@@ -49,9 +49,10 @@ def make_optimizer(cfg: RainbowConfig) -> optax.GradientTransformation:
     moment/param updates become a handful of fused kernels instead of
     per-leaf chains — the learner round is latency-bound on exactly such
     small kernels (docs/results_r3). Mathematically identical."""
+    mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
     return optax.flatten(optax.chain(
         optax.clip_by_global_norm(cfg.norm_clip),
-        optax.adam(cfg.learning_rate, eps=cfg.adam_eps),
+        optax.adam(cfg.learning_rate, eps=cfg.adam_eps, mu_dtype=mu_dtype),
     ))
 
 
@@ -136,6 +137,15 @@ def compute_update(agent: AgentState, cfg: RainbowConfig, action_space: int,
     """Target construction + gradient for one batch. Returns
     (grads, per-sample losses, new rng). Split out from ``learn_step`` so the
     distributed learner can psum grads across the mesh (parallel/learner.py).
+
+    Measured-and-rejected (round 4): folding the double-Q SELECTION forward
+    into the gradient forward as one concatenated batch-2B pass (legal —
+    the reference shares one noise sample across both online forwards,
+    agent.py:66-73) made the marginal update COST 7% more on the v5e
+    (0.704 vs 0.658 ms/update, 256-update batched-PER rounds): the saved
+    batch-B forward kernels are cheaper than the extra batch-2B backward
+    conv/wgrad work, since the selection half still participates in the
+    whole backward chain even with zero cotangent. Two-forward form kept.
     """
     support = support_vector(cfg.v_min, cfg.v_max, cfg.atoms)
     rng, k_target = jax.random.split(agent.rng)

@@ -31,6 +31,10 @@ import jax
 import numpy as np
 from numpy.lib import format as npformat
 
+import ml_dtypes
+
+_BF16 = np.dtype(ml_dtypes.bfloat16)
+
 
 def _is_prng_key(x) -> bool:
     return isinstance(x, jax.Array) and jax.dtypes.issubdtype(
@@ -81,7 +85,7 @@ def save_pytree(path: str, tree: Any, compress: bool = False) -> None:
     multi-process run each process must call this with its OWN path (e.g. a
     .proc{i} suffix): cross-process leaves are saved as the local shard."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays, is_key, is_shard = {}, [], []
+    arrays, is_key, is_shard, is_bf16 = {}, [], [], []
     for i, leaf in enumerate(leaves):
         if _is_prng_key(leaf):
             leaf = jax.random.key_data(leaf)
@@ -89,11 +93,19 @@ def save_pytree(path: str, tree: Any, compress: bool = False) -> None:
         else:
             is_key.append(False)
         arr, shard = _host_local(leaf)
+        if arr.dtype == _BF16:
+            # numpy's npy format round-trips ml_dtypes.bfloat16 as an opaque
+            # void dtype; store the raw bits as uint16 and mark the leaf.
+            arr = arr.view(np.uint16)
+            is_bf16.append(True)
+        else:
+            is_bf16.append(False)
         is_shard.append(shard)
         arrays[f"arr_{i}"] = arr
     arrays["treedef"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
     arrays["is_key"] = np.asarray(is_key)
     arrays["is_shard"] = np.asarray(is_shard)
+    arrays["is_bf16"] = np.asarray(is_bf16)
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     _write_npz(tmp, arrays, compress)
@@ -110,7 +122,10 @@ def load_pytree(path: str, return_shard_mask: bool = False) -> Any:
         is_key = z["is_key"]
         is_shard = z["is_shard"] if "is_shard" in z.files else \
             np.zeros_like(is_key)
+        is_bf16 = z["is_bf16"] if "is_bf16" in z.files else \
+            np.zeros_like(is_key)
         leaves = [z[f"arr_{i}"] for i in range(len(is_key))]
+    leaves = [l.view(_BF16) if b else l for l, b in zip(leaves, is_bf16)]
     leaves = [jax.random.wrap_key_data(jax.numpy.asarray(l)) if k else l
               for l, k in zip(leaves, is_key)]
     tree = jax.tree_util.tree_unflatten(treedef, leaves)

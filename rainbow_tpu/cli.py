@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--adam-mu-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="Adam first-moment storage dtype (bf16 halves the "
+                        "m-term of the learner's HBM-floor traffic)")
     p.add_argument("--env-backend", default=None, choices=["native", "fake"])
     p.add_argument("--pipeline-actor", action="store_true", default=None)
     p.add_argument("--delta-uploads", action="store_true", default=None,

@@ -183,4 +183,28 @@ def data_efficient(**overrides) -> RainbowConfig:
     return RainbowConfig(**base)
 
 
-PRESETS = {"canonical": canonical, "data-efficient": data_efficient}
+def throughput(**overrides) -> RainbowConfig:
+    """Opt-in large-batch throughput preset (no reference equivalent).
+
+    The canonical learner is kernel-LATENCY-bound, not flops-bound: one
+    batch-32 update is a ~50-kernel serial chain costing ~0.7 ms on a v5e
+    regardless of how little each kernel computes (docs/results_r3 §2/§6).
+    This preset keeps the canonical REPLAY RATIO in samples (8 sampled
+    transitions per env-step: batch 256 @ one update per 32 env-steps ==
+    batch 32 @ one per 4) but runs 8× fewer, 8× wider updates, amortising
+    the fixed kernel chain across 8× the samples; lr scales by √8 (Adam
+    sqrt-scaling) to keep the per-sample learning signal comparable.
+    Quality-gated: results committed under docs/results_r4 compare its
+    learning curves against the canonical preset at equal env-step budget.
+    """
+    base = dict(
+        batch_size=256,
+        replay_frequency=32,
+        learning_rate=6.25e-5 * (256 / 32) ** 0.5,
+    )
+    base.update(overrides)
+    return RainbowConfig(**base)
+
+
+PRESETS = {"canonical": canonical, "data-efficient": data_efficient,
+           "throughput": throughput}

@@ -109,3 +109,25 @@ def test_restore_preflatten_optimizer_state(tmp_path):
     # And the adapted state must be immediately usable.
     grads = jax.tree.map(jnp.ones_like, agent.params)
     ag.apply_grads(adapted, cfg, grads, adapted.rng)
+
+
+def test_bfloat16_leaves_roundtrip_exact(tmp_path):
+    """bf16 leaves (e.g. Adam mu under cfg.adam_mu_dtype='bfloat16') must
+    round-trip bit-exactly: numpy's npy format loads ml_dtypes.bfloat16 back
+    as an opaque void dtype, so save_pytree stores the raw bits as uint16
+    with an is_bf16 marker."""
+    import ml_dtypes
+
+    tree = {
+        "bf": jnp.arange(7, dtype=jnp.bfloat16) * 0.3,
+        "f32": jnp.arange(5, dtype=jnp.float32),
+        "scalar_bf": jnp.asarray(1.5, jnp.bfloat16),
+    }
+    path = str(tmp_path / "bf16.npz")
+    ckpt.save_pytree(path, tree)
+    back = ckpt.load_pytree(path)
+    for k in tree:
+        a, b = np.asarray(tree[k]), np.asarray(back[k])
+        assert a.dtype == b.dtype, (k, a.dtype, b.dtype)
+        assert a.tobytes() == b.tobytes(), k
+    assert np.asarray(back["bf"]).dtype == np.dtype(ml_dtypes.bfloat16)
