@@ -595,6 +595,22 @@ def main():
              f"env-steps/s @ {num_envs} envs | {train_ups:.0f} updates/s "
              f"interleaved | mfu={train_mfu:.3f} | loss={tloss:.3f}")
 
+    # Throughput preset (config.throughput): same sample replay ratio via
+    # 8x-wider, 8x-fewer updates — the learner is kernel-latency-bound, so
+    # this amortises the serial kernel chain (6.8 vs 20.6 us/sample measured
+    # batch-256 vs batch-32). Opt-in and quality-gated (docs/results_r4).
+    tp_sps = tp_ups = tp_mfu = 0.0
+    if not os.environ.get("BENCH_SKIP_TP"):
+        tp_cfg = rainbow_tpu.throughput(
+            num_envs=num_envs,
+            memory_capacity=min(num_envs * 1024, 1_000_000))
+        tp_sps, tp_ups, tp_mfu, tp_loss = bench_train(
+            tp_cfg, game, num_envs, iters)
+        info(f"TRAIN [throughput preset] (batch {tp_cfg.batch_size}, one "
+             f"update per {tp_cfg.replay_frequency} env-steps): "
+             f"{tp_sps:.0f} env-steps/s @ {num_envs} envs | {tp_ups:.0f} "
+             f"updates/s | mfu={tp_mfu:.3f} | loss={tp_loss:.3f}")
+
     if os.environ.get("BENCH_SKIP_SERIAL"):
         batched_sps = 0.0
     else:
@@ -623,16 +639,25 @@ def main():
         single_cfg, game, max(10, iters // 3))
     info(f"reference-style single env: {single_sps:.1f} env-steps/s")
 
-    headline = train_sps if train_sps else batched_sps
+    # Headline: best full-training configuration (canonical, or the
+    # quality-gated throughput preset — both sustain the same sampled
+    # replay ratio; per-preset numbers are reported alongside).
+    headline = max(train_sps, tp_sps) if (train_sps or tp_sps) \
+        else batched_sps
     print(json.dumps({
-        "metric": "train_env_steps_per_s" if train_sps else "env_steps_per_s",
+        "metric": "train_env_steps_per_s" if (train_sps or tp_sps)
+                  else "env_steps_per_s",
         "value": round(headline, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(headline / max(single_sps, 1e-9), 2),
+        "train_canonical_env_steps_per_s": round(train_sps, 1),
+        "train_throughput_preset_env_steps_per_s": round(tp_sps, 1),
         "actor_only_env_steps_per_s": round(batched_sps, 1),
         "learner_updates_per_s": round(updates_ps, 1),
         "train_updates_per_s": round(train_ups, 1),
+        "train_tp_updates_per_s": round(tp_ups, 1),
         "mfu_train": round(train_mfu, 4),
+        "mfu_train_tp": round(tp_mfu, 4),
         "mfu_learner": round(updates_ps * lfpu / peak, 4),
     }))
 
