@@ -237,3 +237,27 @@ def test_batched_round_noise_distinct_per_update_and_key_advances(tmp_path):
                                           np.asarray(e_in[j])), (name, i, j)
                 assert not np.array_equal(np.asarray(e_out[i]),
                                           np.asarray(e_out[j])), (name, i, j)
+
+
+def test_throughput_preset_preserves_sample_ratio():
+    """The throughput preset must sample exactly as many replay transitions
+    per env-step as the canonical preset (8 = batch 32 / replay-freq 4):
+    wider-but-fewer updates, same data pressure. Also checks the Trainer's
+    learn cadence math at representative env counts and the sqrt lr scale."""
+    import rainbow_tpu
+
+    can = rainbow_tpu.canonical()
+    tp = rainbow_tpu.throughput()
+    assert can.batch_size / can.replay_frequency == \
+        tp.batch_size / tp.replay_frequency == 8.0
+    assert tp.learning_rate == pytest.approx(
+        can.learning_rate * (tp.batch_size / can.batch_size) ** 0.5)
+    # Trainer cadence: samples per env-step stays 8 at any env count.
+    for envs in (32, 256, 1024):
+        for cfg in (can.replace(num_envs=envs), tp.replace(num_envs=envs)):
+            if cfg.num_envs >= cfg.replay_frequency:
+                learns, iters = cfg.num_envs // cfg.replay_frequency, 1
+            else:
+                learns, iters = 1, cfg.replay_frequency // cfg.num_envs
+            samples_per_step = learns * cfg.batch_size / (iters * cfg.num_envs)
+            assert samples_per_step == 8.0, (envs, cfg.batch_size)
