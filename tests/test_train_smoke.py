@@ -79,8 +79,11 @@ def test_async_eval_coalesces_and_forces_final(tmp_path, monkeypatch):
         return real_evaluate(*a, **kw)
 
     monkeypatch.setattr(train_mod.ev, "evaluate", slow_evaluate)
+    # Tight backlog (max_pending_evals=1): overlapping evals beyond one
+    # queued snapshot must be SKIPPED (bounded end-of-run drain), recorded
+    # in metrics['skipped_evals'], and the forced final eval must run.
     cfg = tiny_cfg(tmp_path, async_eval=True, evaluation_interval=64,
-                   total_steps=512, learn_start=64)
+                   total_steps=512, learn_start=64, max_pending_evals=1)
     tr = Trainer(cfg)
     metrics = tr.run()
     assert tr.T >= cfg.total_steps
@@ -89,6 +92,37 @@ def test_async_eval_coalesces_and_forces_final(tmp_path, monkeypatch):
     assert 2 <= len(calls) < 8, calls
     assert len(metrics["steps"]) == len(calls)
     assert metrics["steps"][-1] == tr.T  # forced final at end-of-run T
+    assert metrics.get("skipped_evals"), "skips must be auditable"
+    assert len(calls) + len(metrics["skipped_evals"]) >= 8
+
+
+def test_async_eval_default_backlog_keeps_density(tmp_path, monkeypatch):
+    """With the default max_pending_evals the same slow-eval run must keep
+    near-full curve density: scheduled evals snapshot params at their T and
+    queue instead of being dropped (VERDICT r3 weak #4)."""
+    import time as _t
+
+    from rainbow_tpu import evaluate as ev_mod
+    from rainbow_tpu import train as train_mod
+
+    real_evaluate = ev_mod.evaluate
+    calls = []
+
+    def slow_evaluate(*a, **kw):
+        calls.append(_t.time())
+        _t.sleep(0.8)
+        return real_evaluate(*a, **kw)
+
+    monkeypatch.setattr(train_mod.ev, "evaluate", slow_evaluate)
+    cfg = tiny_cfg(tmp_path, async_eval=True, evaluation_interval=64,
+                   total_steps=512, learn_start=64)  # default backlog (4)
+    tr = Trainer(cfg)
+    metrics = tr.run()
+    # 8 scheduled; with a 4-deep snapshot queue at least 5 measure, and
+    # every measured eval is tagged with its scheduled snapshot T.
+    assert len(metrics["steps"]) >= 5, metrics["steps"]
+    assert metrics["steps"] == sorted(metrics["steps"])
+    assert metrics["steps"][-1] == tr.T
 
 
 def test_checkpoint_resume_exact(tmp_path):
