@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exact reference PER sequencing (re-sample against "
                         "latest priorities every update) instead of the "
                         "batched-PER round (one sample+gather per round)")
+    p.add_argument("--max-pending-evals", type=int, default=None,
+                   help="async-eval snapshot-queue depth before scheduled "
+                        "evals are skipped (skips recorded in metrics)")
     p.add_argument("--async-eval", action="store_true", default=None,
                    help="run evaluations on a background thread against a "
                         "params snapshot (keeps eval off the training loop's "
