@@ -298,6 +298,33 @@ class Breakout final : public Game {
   int lives() const override { return lives_; }
   int num_actions() const override { return 4; }
 
+  // Perfect-information scripted policy (score-bound hook, like Pong's):
+  // serve with FIRE, predict the descending ball's landing x with wall
+  // reflection (brick deflections are re-planned on the next step), centre
+  // the paddle there; shadow the ball while it rises.
+  int oracle_action() const override {
+    if (over_) return 0;
+    if (!launched_) return 1;  // FIRE serves
+    float target_x;
+    if (bvy_ > 0) {
+      float x = bx_, vx = bvx_, y = by_;
+      int guard = 0;
+      while (y < kPaddleY - kBall && guard++ < 600) {
+        x += vx;
+        y += bvy_;
+        if (x < 8) { x = 8; vx = -vx; }
+        if (x > kScreenW - 8 - kBall) { x = kScreenW - 8 - kBall; vx = -vx; }
+      }
+      target_x = x;
+    } else {
+      target_x = bx_;
+    }
+    float d = (target_x + kBall / 2.0f) - (paddle_x_ + kPaddleW / 2.0f);
+    if (d > 6.0f) return 2;   // RIGHT
+    if (d < -6.0f) return 3;  // LEFT
+    return 0;
+  }
+
  private:
   static constexpr int kRows = 6, kCols = 18;
   static constexpr int kBrickW = 8, kBrickH = 6;

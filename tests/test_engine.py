@@ -75,6 +75,15 @@ def test_pong_oracle_bounds():
     assert totals and np.mean(totals) <= -12.0, np.mean(totals)
 
 
+def test_breakout_oracle_bound():
+    """Breakout's scripted oracle must clear walls (reference-scale scores
+    are in the hundreds): pins that the stand-in has no hidden ceiling."""
+    from rainbow_tpu.envs.engine import oracle_run
+
+    scores = oracle_run("breakout", seed=3, episodes=3)
+    assert scores.mean() >= 300.0, scores
+
+
 def test_pong_scores_eventually():
     """Random play in pong must produce nonzero reward (cpu scores)."""
     env = BatchedEnv("pong", num_envs=8, seed=3)
