@@ -1090,16 +1090,18 @@ class Trainer:
                     act_args=(self.agent.params, self.agent.noise_key))
                 a_new.copy_to_host_async()
                 action_queue.append(a_new)
+                self.timer.stop("actor")
                 # Same bounded in-flight window as the fused branch: for
                 # pipeline_depth > settle_window the depth-D action queue
                 # alone leaves D un-settled programs queued, which is the
                 # remote runtime's queueing-collapse regime (see the fused
                 # branch's settle note). a_new's copy is already in flight,
                 # so the pop is a wait, not an extra round trip.
+                self.timer.start("settle")
                 self._settle_q.append(a_new)
                 if len(self._settle_q) > max(cfg.settle_window, 0):
                     np.asarray(self._settle_q.popleft())
-                self.timer.stop("actor")
+                self.timer.stop("settle")
             else:  # single-process data_parallel, serial
                 self.timer.start("env")
                 step_out = env_step(acts_np)
