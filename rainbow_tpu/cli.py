@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exact reference PER sequencing (re-sample against "
                         "latest priorities every update) instead of the "
                         "batched-PER round (one sample+gather per round)")
+    p.add_argument("--eval-workers", type=int, default=None,
+                   help="concurrent async evaluations (overlap dispatch "
+                        "round trips on high-latency links)")
     p.add_argument("--max-pending-evals", type=int, default=None,
                    help="async-eval snapshot-queue depth before scheduled "
                         "evals are skipped (skips recorded in metrics)")

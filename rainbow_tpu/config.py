@@ -122,6 +122,11 @@ class RainbowConfig:
     # batched-actor throughputs an inline eval stalls training for minutes).
     # Metrics/plots/best-model saves land when the eval finishes, tagged
     # with the step T the snapshot was taken at.
+    eval_workers: int = 1              # concurrent async evaluations: >1
+    # overlaps independent evals' per-step dispatch round trips on
+    # RTT-bound links (results still apply in submission order). Each
+    # worker holds its own eval env batch; raise for suite runs on
+    # high-latency tunnels, keep 1 where eval compute itself matters.
     max_pending_evals: int = 4         # async-eval backlog bound: each
     # scheduled eval snapshots the params at its T and queues; beyond this
     # many waiting snapshots the interval is skipped instead (recorded in

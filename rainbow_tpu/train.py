@@ -731,9 +731,19 @@ class Trainer:
     def _eval_async_start(self, val_states, force=False):
         import queue as _queue
         if not hasattr(self, "_eval_pool"):
-            self._eval_pool = ThreadPoolExecutor(1)
+            # >1 worker overlaps the device→host round trips of CONCURRENT
+            # evaluations on RTT-bound links (each eval is a serial chain of
+            # per-step dispatches; independent evals pipeline through the
+            # link's idle gaps). Results are applied strictly in submission
+            # order via the seq machinery below, so metrics['steps'] stays
+            # monotone and best-model selection is order-independent.
+            self._eval_pool = ThreadPoolExecutor(
+                max(int(getattr(self.cfg, "eval_workers", 1)), 1))
             self._eval_results = _queue.Queue()
             self._eval_futs = []
+            self._eval_seq_next = 0     # next seq to submit
+            self._eval_seq_apply = 0    # next seq to apply
+            self._eval_done = {}        # seq -> result tuple (or None)
         # Bounded backlog: an evaluation is RTT-bound (one fused dispatch per
         # episode step), so on high-latency links it can outlast the
         # evaluation interval's worth of training. Round 3 skipped whenever
@@ -758,14 +768,19 @@ class Trainer:
         params = ag._copy_tree(self._eval_params())
         T = self.T
 
+        seq = self._eval_seq_next
+        self._eval_seq_next += 1
+
         def job():
             try:
                 avg_r, avg_q, rewards, qs = ev.evaluate(
                     self.cfg, params, self.action_space,
                     self._eval_env_factory(), val_states, k)
-                self._eval_results.put((T, params, avg_r, avg_q, rewards, qs))
+                self._eval_results.put(
+                    (seq, (T, params, avg_r, avg_q, rewards, qs)))
             except Exception as e:  # surface, don't kill training
                 log(f"async eval at T={T} failed: {e!r}")
+                self._eval_results.put((seq, None))  # keep apply-order moving
 
         self._eval_futs.append(self._eval_pool.submit(job))
 
@@ -777,7 +792,16 @@ class Trainer:
                 f.result()
             self._eval_futs.clear()
         while not self._eval_results.empty():
-            T, params, avg_r, avg_q, rewards, qs = self._eval_results.get()
+            seq, res = self._eval_results.get()
+            self._eval_done[seq] = res
+        # Apply strictly in submission order (concurrent workers may finish
+        # out of order); a failed eval leaves a None placeholder.
+        while self._eval_seq_apply in self._eval_done:
+            res = self._eval_done.pop(self._eval_seq_apply)
+            self._eval_seq_apply += 1
+            if res is None:
+                continue
+            T, params, avg_r, avg_q, rewards, qs = res
             self._apply_eval_result(T, params, avg_r, avg_q, rewards, qs)
             if self.is_chief:
                 log(f"T = {T} / {self.cfg.total_steps} | Avg. reward: "

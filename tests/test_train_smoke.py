@@ -295,3 +295,29 @@ def test_throughput_preset_preserves_sample_ratio():
                 learns, iters = 1, cfg.replay_frequency // cfg.num_envs
             samples_per_step = learns * cfg.batch_size / (iters * cfg.num_envs)
             assert samples_per_step == 8.0, (envs, cfg.batch_size)
+
+
+def test_async_eval_concurrent_workers_apply_in_order(tmp_path, monkeypatch):
+    """eval_workers>1: concurrent evals may FINISH out of order; results
+    must still apply in submission order (monotone metrics['steps'])."""
+    import time as _t
+
+    from rainbow_tpu import evaluate as ev_mod
+    from rainbow_tpu import train as train_mod
+
+    real_evaluate = ev_mod.evaluate
+    n = [0]
+
+    def jittery_evaluate(*a, **kw):
+        n[0] += 1
+        _t.sleep(0.9 if n[0] % 2 else 0.2)  # alternate slow/fast finishes
+        return real_evaluate(*a, **kw)
+
+    monkeypatch.setattr(train_mod.ev, "evaluate", jittery_evaluate)
+    cfg = tiny_cfg(tmp_path, async_eval=True, evaluation_interval=64,
+                   total_steps=512, learn_start=64, eval_workers=3)
+    tr = Trainer(cfg)
+    metrics = tr.run()
+    assert len(metrics["steps"]) >= 6, metrics["steps"]
+    assert metrics["steps"] == sorted(metrics["steps"])
+    assert metrics["steps"][-1] == tr.T
