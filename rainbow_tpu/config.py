@@ -205,9 +205,12 @@ def throughput(**overrides) -> RainbowConfig:
     base = dict(
         batch_size=256,
         replay_frequency=32,
-        learning_rate=6.25e-5 * (256 / 32) ** 0.5,
     )
     base.update(overrides)
+    if "learning_rate" not in base:
+        # sqrt-scale from the canonical batch-32 lr for WHATEVER batch the
+        # caller chose, so batch_size overrides stay correctly tuned.
+        base["learning_rate"] = 6.25e-5 * (base["batch_size"] / 32) ** 0.5
     return RainbowConfig(**base)
 
 

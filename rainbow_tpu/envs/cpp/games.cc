@@ -141,8 +141,9 @@ class Pong final : public Game {
     // Aim: send the ball toward whichever wall is farther from the CPU
     // paddle. rel = +aim bounces down, -aim bounces up (bounce(): bvy_ =
     // rel * 5). |rel| <= 0.625 still makes paddle contact; 0.35 leaves
-    // ~4.4 px of quantisation margin while beating the CPU's 2.4 px/frame
-    // tracking cap whenever it starts displaced.
+    // ~4.4 px of quantisation margin while its bvy (1.75) outpaces the
+    // ALE-strength opponent (kCpuSpeed tracking, drift-home lag) whenever
+    // the CPU starts displaced from the landing point.
     float cpu_mid = cpu_y_ + kPaddleH / 2.0f;
     float aim = cpu_mid < (kTop + kBot) / 2.0f ? 0.35f : -0.35f;
     float target = y + kBallH / 2.0f - (aim + 0.5f) * kPaddleH;

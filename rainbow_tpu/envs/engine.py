@@ -44,9 +44,16 @@ def delta_bucket(k: int):
 
 
 def _load_lib() -> ctypes.CDLL:
-    if not os.path.exists(_LIB_PATH):
+    # Always invoke make: a no-op when the .so is current, a rebuild when
+    # sources are newer (a stale prebuilt .so would silently run old game
+    # dynamics and lack newer symbols). The Makefile links via tmp+mv, so
+    # processes holding the old mapping are unaffected.
+    try:
         subprocess.run(["make", "-C", _CPP_DIR], check=True,
                        capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(_LIB_PATH):  # no toolchain AND no binary
+            raise
     lib = ctypes.CDLL(_LIB_PATH)
     lib.renv_create.restype = ctypes.c_void_p
     lib.renv_create.argtypes = [ctypes.c_char_p, ctypes.c_int,

@@ -756,12 +756,19 @@ class Trainer:
         # the interval skipped (recorded in metrics['skipped_evals'] so
         # curve-density is auditable — a coalesced run is distinguishable
         # from a fast one). The final eval (force=True) always runs.
-        pending = sum(not f.done() for f in self._eval_futs)
-        if not force and pending > max(self.cfg.max_pending_evals, 1):
+        self._eval_futs = [f for f in self._eval_futs if not f.done()]
+        pending = len(self._eval_futs)
+        # WAITING snapshots = in-flight minus those actually running on the
+        # worker pool; the bound is on the queue, not on concurrency, so
+        # raising eval_workers is never self-defeating. max_pending_evals=0
+        # restores "skip whenever all workers are busy".
+        waiting = max(0, pending - max(int(self.cfg.eval_workers), 1))
+        if not force and pending > 0 and \
+                waiting >= max(self.cfg.max_pending_evals, 0):
             self._eval_skipped_since = self.T
             self.metrics.setdefault("skipped_evals", []).append(self.T)
             log(f"T = {self.T} | evaluation skipped ({pending} already "
-                f"queued; interval shorter than eval wall time)")
+                f"in flight; interval shorter than eval wall time)")
             return
         self._eval_skipped_since = None
         self.loop_key, k = ag.split2(self.loop_key)
