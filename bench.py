@@ -317,6 +317,15 @@ def bench_train(cfg, game, num_envs, iters, depth=3, delta=True):
     for _ in range(4):
         loss = one_iter(learns_per_iter)
     np.asarray(loss)  # REAL settlement (see bench_learner note)
+    # Freeze the sparse-delta bucket at its cap for the timed loop: the
+    # adaptive ratchet otherwise grows the padded shape mid-loop and every
+    # growth is a fresh jit specialisation — one remote compile (~60 s)
+    # inside the measurement (observed: a 66 s 'iteration' in a 125 ms/iter
+    # steady state). Two more warm iterations compile the pinned shape.
+    delta_floor[0] = floor_cap
+    for _ in range(2):
+        loss = one_iter(learns_per_iter)
+    np.asarray(loss)
     verbose = os.environ.get("BENCH_TRAIN_VERBOSE")
     # Bounded in-flight window: settle the loss of iteration i-W at
     # iteration i. Unbounded async dispatch (the r2 structure) collapses
