@@ -63,6 +63,57 @@ struct Canvas {
   }
 };
 
+// Tile-maze BFS: first step (odx, ody) of a shortest path from (sc, sr) to
+// the nearest cell where goal[] is set, moving 4-directionally through cells
+// where pass[] is nonzero. wrap_x follows side tunnels. Returns false when
+// no goal is reachable. Shared by the perfect-information oracle policies
+// that bound what a learned agent can score on the maze stand-ins (the
+// pong/breakout oracles in games.cc established the playbook).
+inline bool maze_first_step(const uint8_t* pass, const uint8_t* goal,
+                            int cols, int rows, int sc, int sr, bool wrap_x,
+                            int* odx, int* ody) {
+  constexpr int kMax = 24 * 24;
+  short prev[kMax];
+  short queue[kMax];
+  for (int i = 0; i < cols * rows; ++i) prev[i] = -2;  // unvisited
+  int head = 0, tail = 0;
+  int start = sr * cols + sc;
+  prev[start] = -1;
+  queue[tail++] = (short)start;
+  int found = -1;
+  constexpr int kDx[4] = {0, 1, 0, -1};
+  constexpr int kDy[4] = {-1, 0, 1, 0};
+  while (head < tail) {
+    int cur = queue[head++];
+    if (goal[cur] && cur != start) { found = cur; break; }
+    int cc = cur % cols, cr = cur / cols;
+    for (int d = 0; d < 4; ++d) {
+      int nc = cc + kDx[d], nr = cr + kDy[d];
+      if (wrap_x) {
+        if (nc < 0) nc = cols - 1;
+        if (nc >= cols) nc = 0;
+      }
+      if (nc < 0 || nc >= cols || nr < 0 || nr >= rows) continue;
+      int ni = nr * cols + nc;
+      if (!pass[ni] || prev[ni] != -2) continue;
+      prev[ni] = (short)cur;
+      queue[tail++] = (short)ni;
+    }
+  }
+  if (found < 0) return false;
+  int cur = found;
+  while (prev[cur] != start && prev[cur] != -1) cur = prev[cur];
+  int cc = cur % cols, cr = cur / cols;
+  int dx = cc - sc, dy = cr - sr;
+  if (wrap_x) {  // normalize tunnel steps to a unit direction
+    if (dx > 1) dx = -1;
+    if (dx < -1) dx = 1;
+  }
+  *odx = dx;
+  *ody = dy;
+  return true;
+}
+
 Game* make_game(const char* name);
 Game* make_game2(const char* name);     // games2.cc (catalogue batch 2)
 Game* make_game3(const char* name);     // games3.cc (Atari-100k completion)

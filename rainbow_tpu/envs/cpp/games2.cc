@@ -139,6 +139,74 @@ class MsPacman final : public Game {
   int lives() const override { return lives_; }
   int num_actions() const override { return 9; }
 
+  // Perfect-information play: BFS to the nearest pellet through tiles kept
+  // clear of hostile ghosts; chase edible ghosts while frightened time
+  // allows. Bounds what any learned agent can score here (round-4 verdict
+  // item 1 — same playbook as the pong/breakout oracles in games.cc).
+  int oracle_action() const override {
+    if (over_) return 0;
+    int tc = px_ / kTile, tr = py_ / kTile;
+    uint8_t pass[kRows * kCols], goal[kRows * kCols];
+    for (int i = 0; i < kRows * kCols; ++i) {
+      pass[i] = maze_[i] != 0;
+      goal[i] = 0;
+    }
+    // With >=80 fright frames left a 2px/frame player catches 1px/frame
+    // prey: hunt ghosts (200*2^combo dwarfs pellets). Otherwise rope off a
+    // one-tile halo around each hostile ghost (contact radius 6px).
+    bool chase = fright_ > 80;
+    for (int g = 0; g < 4; ++g) {
+      if (eaten_[g] > 0) continue;
+      int gc = std::clamp(gx_[g] / kTile, 0, kCols - 1);
+      int gr = std::clamp(gy_[g] / kTile, 0, kRows - 1);
+      if (chase) {
+        goal[gr * kCols + gc] = 1;
+        continue;
+      }
+      for (int dr = -1; dr <= 1; ++dr)
+        for (int dc = -1; dc <= 1; ++dc) {
+          int nc = gc + dc, nr = gr + dr;
+          if (nc >= 0 && nc < kCols && nr >= 0 && nr < kRows &&
+              !(nc == tc && nr == tr))
+            pass[nr * kCols + nc] = 0;
+        }
+    }
+    if (!chase)
+      for (int i = 0; i < kRows * kCols; ++i)
+        if (maze_[i] >= 2 && pass[i]) goal[i] = 1;
+    int dx = 0, dy = 0;
+    if (!maze_first_step(pass, goal, kCols, kRows, tc, tr, true, &dx, &dy)) {
+      // No safe route: flee to the open neighbor farthest from the nearest
+      // hostile ghost.
+      int best = -1;
+      long best_d = -1;
+      static constexpr int kNx[4] = {0, 1, -1, 0};
+      static constexpr int kNy[4] = {-1, 0, 0, 1};
+      for (int d = 0; d < 4; ++d) {
+        int nc = tc + kNx[d], nr = tr + kNy[d];
+        if (nc < 0) nc = kCols - 1;
+        if (nc >= kCols) nc = 0;
+        if (nr < 0 || nr >= kRows || maze_[nr * kCols + nc] == 0) continue;
+        long dmin = 1 << 20;
+        for (int g = 0; g < 4; ++g) {
+          if (eaten_[g] > 0 || fright_ > 0) continue;
+          long ddx = gx_[g] - (nc * kTile + kTile / 2);
+          long ddy = gy_[g] - (nr * kTile + kTile / 2);
+          dmin = std::min(dmin, ddx * ddx + ddy * ddy);
+        }
+        if (dmin > best_d) { best_d = dmin; best = d; }
+      }
+      if (best < 0) return 0;
+      dx = kNx[best];
+      dy = kNy[best];
+    }
+    if (dy < 0) return 1;  // UP
+    if (dx > 0) return 2;  // RIGHT
+    if (dx < 0) return 3;  // LEFT
+    if (dy > 0) return 4;  // DOWN
+    return 0;
+  }
+
  private:
   bool open_tile(int tc, int tr) const {
     if (tc < 0 || tc >= kCols || tr < 0 || tr >= kRows) return false;
@@ -507,6 +575,52 @@ class Seaquest final : public Game {
   bool game_over() const override { return over_; }
   int lives() const override { return lives_; }
   int num_actions() const override { return 18; }
+
+  // Perfect-information play: keep enough oxygen to surface, grab adjacent
+  // divers, otherwise park in a shark's depth band and torpedo it (+20/+40).
+  // Bounds what any learned agent can score here (round-4 verdict item 1).
+  int oracle_action() const override {
+    if (over_) return 0;
+    // Climbing burns 1 oxygen per frame at 2 px/frame; keep a cushion.
+    int climb_frames = (int)((y_ - kSurface) / 2.0f) + 8;
+    if (oxy_ < climb_frames + 80 || carried_ >= 6) return 2;  // UP
+    // Divers are worth +50 each on surfacing: pick up any that is close.
+    const Diver* dv = nullptr;
+    float dv_d = 40.0f;
+    for (const auto& d : divers_) {
+      if (!d.alive || carried_ >= 6) continue;
+      float dd = std::abs(d.x - x_) + std::abs(d.y - y_);
+      if (dd < dv_d) { dv_d = dd; dv = &d; }
+    }
+    if (dv) {
+      if (dv->y > y_ + 4) return 5;
+      if (dv->y < y_ - 4) return 2;
+      return dv->x > x_ ? 3 : 4;  // RIGHT / LEFT
+    }
+    // Hunt the nearest shark/sub.
+    const Shark* sk = nullptr;
+    float sk_d = 1e9f;
+    for (const auto& s : sharks_) {
+      if (!s.alive) continue;
+      float dd = std::abs(s.y - y_) * 3.0f + std::abs(s.x - x_);
+      if (dd < sk_d) { sk_d = dd; sk = &s; }
+    }
+    if (!sk) return y_ < kBandY + kBandH ? 5 : 0;  // drift to the bands
+    float hdx = sk->x - x_;
+    float hdy = sk->y - (y_ + 2.0f);  // torpedo spawns at y+2
+    bool right = hdx > 0;
+    // On the firing line with a free tube: shoot (the torpedo outruns any
+    // shark long before contact range).
+    if (std::abs(hdy) <= 3 && torp_life_ == 0 && std::abs(hdx) < 140)
+      return right ? 11 : 12;  // FIRE+face
+    // Anything near our depth that we cannot shoot right now: open the
+    // range vertically first — the round-5 probe showed the old oracle
+    // descending straight into the contact box (kill zone |dy|<8).
+    if (std::abs(hdx) < 30 && std::abs(sk->y - y_) < 16)
+      return sk->y > y_ ? 2 : 5;  // step out of its band
+    if (std::abs(hdy) > 3) return hdy > 0 ? 5 : 2;  // align from afar
+    return right ? 3 : 4;  // close in along the band
+  }
 
  private:
   static constexpr int kSurface = 46;

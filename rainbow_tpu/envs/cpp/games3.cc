@@ -72,6 +72,16 @@ class Alien final : public Game {
     if (cell == 2) { cell = 1; reward += 10.0f; --eggs_; }
     flame_ = m.fire ? 4 : std::max(flame_ - 1, 0);
     for (int g = 0; g < 3; ++g) {
+      // Flamed aliens stay off-board for a grace period before re-entering
+      // (without it a player camping the fixed respawn point could farm
+      // +150 every frame — the round-5 oracle measured 16M/episode).
+      if (resp_[g] > 0) {
+        if (--resp_[g] == 0) {
+          ax_[g] = (2 + g * 7) * kTile + 4;
+          ay_[g] = 2 * kTile + 4;
+        }
+        continue;
+      }
       int cdx = (px_ > ax_[g]) ? 1 : (px_ < ax_[g]) ? -1 : 0;
       int cdy = (py_ > ay_[g]) ? 1 : (py_ < ay_[g]) ? -1 : 0;
       if (rng_.below(6) == 0) { cdx = rng_.below(3) - 1; cdy = rng_.below(3) - 1; }
@@ -83,7 +93,7 @@ class Alien final : public Game {
                      : (ax_[g] < px_ && px_ - ax_[g] < 18));
       if (in_flame) {
         reward += 150.0f;
-        ax_[g] = (2 + g * 7) * kTile + 4; ay_[g] = 2 * kTile + 4;
+        resp_[g] = 180;
       } else if (close) {
         --lives_;
         if (lives_ <= 0) { over_ = true; return reward; }
@@ -107,7 +117,8 @@ class Alien final : public Game {
         else if (v == 2) c.rect(y + 3, x + 3, 2, 2, kMid);
       }
     for (int g = 0; g < 3; ++g)
-      c.rect(kMazeY + ay_[g] - 4, ax_[g] - 3, 9, 7, (uint8_t)(160 + g * 25));
+      if (resp_[g] == 0)
+        c.rect(kMazeY + ay_[g] - 4, ax_[g] - 3, 9, 7, (uint8_t)(160 + g * 25));
     c.rect(kMazeY + py_ - 4, px_ - 3, 9, 7, kBright);
     if (flame_ > 0)
       c.rect(kMazeY + py_ - 2, face_ > 0 ? px_ + 4 : px_ - 18, 4, 14, kMid);
@@ -117,6 +128,79 @@ class Alien final : public Game {
   bool game_over() const override { return over_; }
   int lives() const override { return lives_; }
   int num_actions() const override { return 18; }
+
+  // Perfect-information play: flame any alien closing on our row (+150 each
+  // — the flame outranges contact), sidestep vertical threats, otherwise BFS
+  // to the nearest egg around a one-tile hostile halo. Bounds what any
+  // learned agent can score here (round-4 verdict item 1).
+  int oracle_action() const override {
+    if (over_) return 0;
+    for (int g = 0; g < 3; ++g) {
+      if (resp_[g] > 0) continue;
+      int adx = ax_[g] - px_, ady = ay_[g] - py_;
+      if (std::abs(ady) < 8 && adx != 0 && std::abs(adx) <= 22)
+        return adx > 0 ? 11 : 12;  // RIGHT/LEFTFIRE: face it and flame
+    }
+    int tc = px_ / kTile, tr = py_ / kTile;
+    for (int g = 0; g < 3; ++g) {
+      if (resp_[g] > 0) continue;
+      int adx = ax_[g] - px_, ady = ay_[g] - py_;
+      if (std::abs(adx) < 10 && std::abs(ady) >= 8 && std::abs(ady) < 16) {
+        // Closing vertically where the flame cannot reach: step aside so the
+        // approach turns horizontal (then the flame branch above kills it).
+        if (open(tc + 1, tr)) return 3;
+        if (open(tc - 1, tr)) return 4;
+      }
+    }
+    uint8_t pass[kRows * kCols], goal[kRows * kCols];
+    for (int i = 0; i < kRows * kCols; ++i) {
+      pass[i] = maze_[i] != 0;
+      goal[i] = 0;
+    }
+    for (int g = 0; g < 3; ++g) {
+      if (resp_[g] > 0) continue;
+      int gc = std::clamp(ax_[g] / kTile, 0, kCols - 1);
+      int gr = std::clamp(ay_[g] / kTile, 0, kRows - 1);
+      for (int dr = -1; dr <= 1; ++dr)
+        for (int dc = -1; dc <= 1; ++dc) {
+          int nc = gc + dc, nr = gr + dr;
+          if (nc >= 0 && nc < kCols && nr >= 0 && nr < kRows &&
+              !(nc == tc && nr == tr))
+            pass[nr * kCols + nc] = 0;
+        }
+    }
+    for (int i = 0; i < kRows * kCols; ++i)
+      if (maze_[i] == 2 && pass[i]) goal[i] = 1;
+    int dx = 0, dy = 0;
+    if (!maze_first_step(pass, goal, kCols, kRows, tc, tr, false, &dx, &dy)) {
+      // No safe egg route: flee to the open neighbor farthest from the
+      // nearest alien.
+      int best = -1;
+      long best_d = -1;
+      static constexpr int kNx[4] = {0, 1, -1, 0};
+      static constexpr int kNy[4] = {-1, 0, 0, 1};
+      for (int d = 0; d < 4; ++d) {
+        int nc = tc + kNx[d], nr = tr + kNy[d];
+        if (!open(nc, nr)) continue;
+        long dmin = 1 << 20;
+        for (int g = 0; g < 3; ++g) {
+          if (resp_[g] > 0) continue;
+          long ddx = ax_[g] - (nc * kTile + 4);
+          long ddy = ay_[g] - (nr * kTile + 4);
+          dmin = std::min(dmin, ddx * ddx + ddy * ddy);
+        }
+        if (dmin > best_d) { best_d = dmin; best = d; }
+      }
+      if (best < 0) return 0;
+      dx = kNx[best];
+      dy = kNy[best];
+    }
+    if (dy < 0) return 2;  // UP
+    if (dx > 0) return 3;  // RIGHT
+    if (dx < 0) return 4;  // LEFT
+    if (dy > 0) return 5;  // DOWN
+    return 0;
+  }
 
  private:
   bool open(int tc, int tr) const {
@@ -167,13 +251,14 @@ class Alien final : public Game {
     for (int g = 0; g < 3; ++g) {
       ax_[g] = (4 + g * 6) * kTile + 4;
       ay_[g] = 1 * kTile + 4;
+      resp_[g] = 0;
     }
   }
 
   Rng rng_{0};
   uint8_t maze_[kRows * kCols] = {};
   int px_ = 0, py_ = 0, face_ = 1, flame_ = 0;
-  int ax_[3] = {}, ay_[3] = {};
+  int ax_[3] = {}, ay_[3] = {}, resp_[3] = {};
   int eggs_ = 0, lives_ = 3;
   bool over_ = false;
 };
@@ -615,6 +700,71 @@ class BankHeist final : public Game {
   int lives() const override { return lives_; }
   int num_actions() const override { return 18; }
 
+  // Perfect-information play: BFS to the nearest alive bank; when a police
+  // car closes in, keep driving but drop dynamite in its path (+30 — it
+  // chases straight through the drop point). Bounds what any learned agent
+  // can score here (round-4 verdict item 1: flat 0.0 in the r4 suite).
+  int oracle_action() const override {
+    if (over_) return 0;
+    int tc = px_ / kTile, tr = py_ / kTile;
+    bool drop = false;
+    if (dyn_timer_ == 0)
+      for (const auto& p : police_)
+        if (p.alive && std::abs(p.x - px_) < 26 && std::abs(p.y - py_) < 26)
+          { drop = true; break; }
+    uint8_t pass[kRows * kCols], goal[kRows * kCols];
+    for (int i = 0; i < kRows * kCols; ++i) {
+      pass[i] = maze_[i] != 0;
+      goal[i] = 0;
+    }
+    // Police halo: we outrun them 2:1, so one tile of clearance suffices.
+    for (const auto& p : police_) {
+      if (!p.alive) continue;
+      int gc = std::clamp(p.x / kTile, 0, kCols - 1);
+      int gr = std::clamp(p.y / kTile, 0, kRows - 1);
+      for (int dr = -1; dr <= 1; ++dr)
+        for (int dc = -1; dc <= 1; ++dc) {
+          int nc = gc + dc, nr = gr + dr;
+          if (nc >= 0 && nc < kCols && nr >= 0 && nr < kRows &&
+              !(nc == tc && nr == tr))
+            pass[nr * kCols + nc] = 0;
+        }
+    }
+    for (const auto& b : banks_)
+      if (b.alive) {
+        int bc = std::clamp(b.x / kTile, 0, kCols - 1);
+        int br = std::clamp(b.y / kTile, 0, kRows - 1);
+        if (pass[br * kCols + bc]) goal[br * kCols + bc] = 1;
+      }
+    int dx = 0, dy = 0;
+    if (!maze_first_step(pass, goal, kCols, kRows, tc, tr, false, &dx, &dy)) {
+      // No clear bank route: run from the nearest police car.
+      int best = -1;
+      long best_d = -1;
+      static constexpr int kNx[4] = {0, 1, -1, 0};
+      static constexpr int kNy[4] = {-1, 0, 0, 1};
+      for (int d = 0; d < 4; ++d) {
+        int nc = tc + kNx[d], nr = tr + kNy[d];
+        if (!open(nc, nr)) continue;
+        long dmin = 1 << 20;
+        for (const auto& p : police_) {
+          if (!p.alive) continue;
+          long ddx = p.x - (nc * kTile + 4);
+          long ddy = p.y - (nr * kTile + 4);
+          dmin = std::min(dmin, ddx * ddx + ddy * ddy);
+        }
+        if (dmin > best_d) { best_d = dmin; best = d; }
+      }
+      if (best < 0) return drop ? 1 : 0;
+      dx = kNx[best];
+      dy = kNy[best];
+    }
+    int base = dy < 0 ? 2 : dx > 0 ? 3 : dx < 0 ? 4 : dy > 0 ? 5 : 0;
+    if (drop && base != 0) return base + 8;  // move + FIRE
+    if (drop) return 1;                      // FIRE in place
+    return base;
+  }
+
  private:
   static constexpr int kBanks = 3;
   struct Bank { int x, y; bool alive; };
@@ -670,6 +820,22 @@ class BankHeist final : public Game {
     banks_[0] = {3 * kTile + 4, 3 * kTile + 4, true};
     banks_[1] = {16 * kTile + 4, 7 * kTile + 4, true};
     banks_[2] = {10 * kTile + 4, 13 * kTile + 4, true};
+    // Snap each bank to the nearest open tile: a bank inside a wall is
+    // unreachable (pickup radius < 8 cannot span a closed tile), which
+    // capped the whole game — the round-4 suite's flat 0.0 was exactly
+    // this (bank 3 sat on a '#' cell).
+    for (auto& b : banks_) {
+      int bc = b.x / kTile, br = b.y / kTile;
+      int best = 1 << 20, nbc = bc, nbr = br;
+      for (int r = 0; r < kRows; ++r)
+        for (int c2 = 0; c2 < kCols; ++c2) {
+          if (maze_[r * kCols + c2] == 0) continue;
+          int d = (r - br) * (r - br) + (c2 - bc) * (c2 - bc);
+          if (d < best) { best = d; nbc = c2; nbr = r; }
+        }
+      b.x = nbc * kTile + 4;
+      b.y = nbr * kTile + 4;
+    }
     for (auto& p : police_) p.alive = false;
   }
 

@@ -109,7 +109,87 @@ class Hero final : public Game {
   int lives() const override { return lives_; }
   int num_actions() const override { return 18; }
 
+  // Perfect-information play: Dijkstra to the miner over the shaft grid —
+  // open cells are cheap, rock cells enterable only sideways at dynamite
+  // cost, lava blocked — then fly the prop-pack along the first step
+  // (hover-damping descent, blasting walls when pressed against them).
+  // Bounds what any learned agent can score here (round-4 verdict item 1).
+  int oracle_action() const override {
+    if (over_) return 0;
+    int tc = (int)(x_ + 4) / kTile, tr = (int)(y_ + 4) / kTile;
+    tc = std::clamp(tc, 0, kCols - 1);
+    tr = std::clamp(tr, 0, kRows - 1);
+    int dx = 0, dy = 0;
+    if (!plan_step(tc, tr, &dx, &dy)) return 2;  // stuck: hover
+    uint8_t below =
+        tr + 1 < kRows ? grid_[(tr + 1) * kCols + tc] : (uint8_t)1;
+    if (below == 2 && vy_ >= 0.0f)  // never sink into lava
+      return dx > 0 ? 6 : dx < 0 ? 7 : 2;  // UP(+dir)
+    if (dx != 0 && grid_[tr * kCols + (tc + dx)] == 1) {
+      // Next cell is rock: blast it once the charge lands in that cell
+      // (act() drops at x +10/-6 px — pressed against the wall), hovering
+      // so the detonation row holds.
+      int bc = (int)(x_ + (dx > 0 ? 10 : -6)) / kTile;
+      bool lined = bc == tc + dx && dyn_cool_ == 0;
+      if (lined) return vy_ > 0.3f ? (dx > 0 ? 14 : 15)    // UP+dir+FIRE
+                                   : (dx > 0 ? 11 : 12);   // dir+FIRE
+      return vy_ > 0.3f && below != 1 ? (dx > 0 ? 6 : 7)
+                                      : (dx > 0 ? 3 : 4);  // press into it
+    }
+    if (dy < 0) return dx > 0 ? 6 : dx < 0 ? 7 : 2;        // climb
+    if (dy > 0) return dx > 0 ? 8 : dx < 0 ? 9 : 5;        // sink
+    if (vy_ > 1.0f && below == 0)
+      return dx > 0 ? 6 : dx < 0 ? 7 : 2;  // damp descent crossing a gap
+    return dx > 0 ? 3 : dx < 0 ? 4 : 0;
+  }
+
  private:
+  // Dijkstra over the 10x20 shaft grid (200 nodes, O(n^2) scan): vertical
+  // moves need open cells (the pack cannot blast downward), horizontal
+  // moves may enter rock at the cost of a dynamite cycle, lava is fatal.
+  // Writes the first step toward the miner; false when unreachable.
+  bool plan_step(int sc, int sr, int* odx, int* ody) const {
+    constexpr int kN = kCols * kRows;
+    constexpr int kInf = 1 << 20;
+    int dist[kN];
+    short prev[kN];
+    bool done_[kN];
+    for (int i = 0; i < kN; ++i) { dist[i] = kInf; prev[i] = -1; done_[i] = false; }
+    int start = sr * kCols + sc;
+    dist[start] = 0;
+    static constexpr int kDx[4] = {0, 1, -1, 0};
+    static constexpr int kDy[4] = {-1, 0, 0, 1};
+    for (int it = 0; it < kN; ++it) {
+      int cur = -1, best = kInf;
+      for (int i = 0; i < kN; ++i)
+        if (!done_[i] && dist[i] < best) { best = dist[i]; cur = i; }
+      if (cur < 0) break;
+      done_[cur] = true;
+      int cc = cur % kCols, cr = cur / kCols;
+      if (cr >= kRows - 2 && cc == miner_col_) {
+        while (prev[cur] != start && prev[cur] != -1) cur = prev[cur];
+        if (prev[cur] == -1) return false;  // already at the miner tile
+        *odx = cur % kCols - sc;
+        *ody = cur / kCols - sr;
+        return true;
+      }
+      for (int d = 0; d < 4; ++d) {
+        int nc = cc + kDx[d], nr = cr + kDy[d];
+        if (nc < 0 || nc >= kCols || nr < 0 || nr >= kRows) continue;
+        int ni = nr * kCols + nc;
+        uint8_t v = grid_[ni];
+        if (v == 2) continue;                 // lava
+        if (v == 1 && kDy[d] != 0) continue;  // no vertical blasting
+        int w = v == 1 ? 40 : 8;
+        if (dist[cur] + w < dist[ni]) {
+          dist[ni] = dist[cur] + w;
+          prev[ni] = (short)cur;
+        }
+      }
+    }
+    return false;
+  }
+
   bool blocked(float x, float y) const {
     int tc = (int)(x + 4) / kTile, tr = (int)(y + 4) / kTile;
     if (tc < 0 || tc >= kCols || tr < 0 || tr >= kRows) return true;

@@ -84,6 +84,31 @@ def test_breakout_oracle_bound():
     assert scores.mean() >= 300.0, scores
 
 
+def test_maze_game_oracle_bounds():
+    """The four round-4 below-random suite games (plus marginal seaquest)
+    must allow scores decisively above their measured random baselines
+    (docs/results_r4/suite_100k/sweep.md): the perfect-information oracles
+    pin the dynamics bound from above. Round 4's bank_heist was flat 0.0
+    because bank 3 sat inside a wall tile (unreachable under the <8px
+    pickup radius); alien allowed a +150/frame respawn-camp farm. Both are
+    fixed and these floors pin them fixed. Budgets are shortened from the
+    full 108k-frame episode for test wall-time; bounds scale with budget."""
+    from rainbow_tpu.envs.engine import oracle_run
+
+    # (game, frame budget, required mean, measured random baseline)
+    cases = [
+        ("bank_heist", 12_000, 8_000.0, 160.0),
+        ("alien", 12_000, 8_000.0, 989.0),
+        ("hero", 12_000, 40_000.0, 2_043.5),
+        ("ms_pacman", 12_000, 15_000.0, 884.0),
+        ("seaquest", 12_000, 400.0, 155.0),
+    ]
+    for game, budget, floor, rand in cases:
+        scores = oracle_run(game, seed=3, episodes=3, max_frames=budget)
+        assert scores.mean() >= floor, (game, scores)
+        assert floor > 2 * rand, (game, floor, rand)
+
+
 def test_pong_scores_eventually():
     """Random play in pong must produce nonzero reward (cpu scores)."""
     env = BatchedEnv("pong", num_envs=8, seed=3)
