@@ -71,6 +71,7 @@ class RainbowConfig:
     # SECOND moment stays fp32 always: its (1-β2)=1e-3 increments fall below
     # bf16 ulp at steady state, so a bf16 nu would silently freeze.
     env_backend: str = "native"        # 'native' (C++ engine) | 'fake' (python fixture)
+    life_every: int = 0                # fake backend: life loss every k steps (0 = never)
     per_env_noise: bool = False        # independent NoisyNet draw per env row
     # at act time (decorrelated batched exploration). Off = one shared noise
     # sample for the whole act batch — the reference's single-env semantics.

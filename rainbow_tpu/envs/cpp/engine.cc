@@ -218,6 +218,11 @@ class Engine {
     *total = doffsets_[n_envs_];
   }
 
+  void set_active(const uint8_t* mask) {
+    if (!mask) { active_.clear(); return; }
+    active_.assign(mask, mask + n_envs_);
+  }
+
   // Valid after step_delta: copy the staged dense observations out (used by
   // the host to fall back to a dense upload when a delta is near-dense).
   void copy_obs(uint8_t* out) const {
@@ -265,6 +270,17 @@ class Engine {
   void step_one(int e, int action, uint8_t* obs, uint8_t* reset_frame,
                 float* reward, uint8_t* done, uint8_t* reset_kind,
                 bool update_mirror = true) {
+    if (!active_.empty() && !active_[e]) {
+      // Deactivated env (finished eval episode): skip simulation, hold the
+      // last frame. The evaluator masks rewards host-side anyway; this
+      // stops N-1 dead envs burning engine CPU while the slowest episode
+      // finishes (round-4 verdict weak #5).
+      std::memcpy(obs, mirror_.data() + (size_t)e * kFrame2, kFrame2);
+      *reward = 0.0f;
+      *done = 0;
+      *reset_kind = 0;
+      return;
+    }
     EnvSlot& s = envs_[e];
     float r = 0.0f;
     bool d = false;
@@ -410,6 +426,7 @@ class Engine {
   std::vector<int64_t> doffsets_;
   std::vector<int> frame_counts_;
   std::vector<char> frame_cap_hit_;  // char: vector<bool> is not thread-safe
+  std::vector<uint8_t> active_;      // empty = all active (set_active)
                                      // for concurrent per-env writes
 
   std::vector<std::thread> workers_;
@@ -441,6 +458,13 @@ void renv_destroy(void* h) { delete static_cast<rainbow::Engine*>(h); }
 
 int renv_num_actions(void* h) {
   return static_cast<rainbow::Engine*>(h)->num_actions();
+}
+
+// Per-env activity mask: inactive envs skip simulation in step()/
+// step_delta() and repeat their last frame with zero reward (used by the
+// evaluator to stop stepping finished episodes). nullptr re-activates all.
+void renv_set_active(void* h, const uint8_t* mask) {
+  static_cast<rainbow::Engine*>(h)->set_active(mask);
 }
 
 void renv_set_training(void* h, int training) {

@@ -63,6 +63,7 @@ def _load_lib() -> ctypes.CDLL:
     lib.renv_num_actions.restype = ctypes.c_int
     lib.renv_set_training.argtypes = [ctypes.c_void_p, ctypes.c_int]
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.renv_set_active.argtypes = [ctypes.c_void_p, u8p]
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.renv_reset_all.argtypes = [ctypes.c_void_p, u8p]
@@ -198,6 +199,17 @@ class BatchedEnv:
     def set_training(self, training: bool) -> None:
         """Life-loss terminals on/off (reference env.py:80-85)."""
         self._lib.renv_set_training(self._h, int(training))
+
+    def set_active(self, mask) -> None:
+        """Per-env activity mask (None = all active). Inactive envs skip
+        simulation in step(): they repeat their last frame with zero
+        reward/done. The evaluator deactivates finished episodes so the
+        slowest episode does not keep N-1 dead envs burning engine CPU."""
+        if mask is None:
+            mask = np.ones(self.num_envs, np.uint8)
+        m = np.ascontiguousarray(np.asarray(mask, np.uint8))
+        assert m.shape == (self.num_envs,)
+        self._lib.renv_set_active(self._h, m)
 
     def reset_all(self) -> np.ndarray:
         """Full reset of every env; returns uint8 (N, 84, 84) initial frames."""

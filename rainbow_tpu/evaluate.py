@@ -99,10 +99,20 @@ def run_episodes(cfg: RainbowConfig, params, action_space: int, make_env,
     max_iters = (cfg.max_episode_length or 10 ** 9) // 4 + 100
     it = 0
     actions, key = _eval_act(params, cfg, action_space, stack, key)
+    can_deactivate = hasattr(env, "set_active")
     while not finished.all() and it < max_iters:
         obs, resets, rewards, dones, kinds = env.step(np.asarray(actions))
         totals += np.where(finished, 0.0, rewards)
+        newly_done = dones.astype(bool) & ~finished
         finished |= dones.astype(bool)
+        if can_deactivate and newly_done.any() and not finished.all():
+            # Stop simulating finished episodes: the slowest episode should
+            # not keep N-1 dead envs burning engine CPU (their rewards are
+            # masked above anyway; frames freeze, which the net never sees
+            # scored). Matters most at reference eval budgets (108k-frame
+            # episodes, reference main.py:27) and on CPU hosts where engine
+            # threads compete with XLA.
+            env.set_active(~finished)
         actions, stack, key = _eval_step(
             params, cfg, action_space, stack, key, jnp.asarray(obs),
             jnp.asarray(resets), jnp.asarray(kinds))

@@ -48,7 +48,7 @@ def make_env_factory(cfg: RainbowConfig) -> Callable:
 
         def factory(num_envs: int, training: bool = True, seed_offset: int = 0):
             return FakeAtariEnv(num_envs, seed=cfg.seed + seed_offset,
-                                episode_len=50, life_every=0,
+                                episode_len=50, life_every=cfg.life_every,
                                 training=training)
         return factory
 
@@ -1031,6 +1031,16 @@ class Trainer:
                 sync_target = do_learn and self.T >= next_target_sync
             elif do_learn:
                 self.agent = ag.reset_noise(self.agent)  # main.py:150-151
+            if not learning and it % self.iters_per_learn == 0:
+                # The reference redraws noisy weights every replay_frequency
+                # steps from T=1 — main.py:150-151 sits OUTSIDE the
+                # T >= learn_start gate (main.py:160). Without this the
+                # whole warmup explores with ONE frozen noise draw (and,
+                # with per_env_noise off, every env acts identically),
+                # biasing the replay distribution the first updates see.
+                # Tiny host-side key fold: warmup-only, a few dozen
+                # iterations, so the extra dispatch is negligible.
+                self.agent = ag.reset_noise(self.agent)
 
             if fused and cfg.pipeline_actor:
                 self.timer.start("env")
