@@ -653,10 +653,16 @@ def main():
     # replay ratio; per-preset numbers are reported alongside).
     headline = max(train_sps, tp_sps) if (train_sps or tp_sps) \
         else batched_sps
+    headline_preset = ("throughput" if tp_sps >= train_sps else "canonical") \
+        if (train_sps or tp_sps) else "actor-only"
     print(json.dumps({
         "metric": "train_env_steps_per_s" if (train_sps or tp_sps)
                   else "env_steps_per_s",
         "value": round(headline, 1),
+        # Which config produced `value` — the headline reflects different
+        # hyperparameters per preset, so cross-round comparisons need this
+        # (ADVICE r4).
+        "headline_preset": headline_preset,
         "unit": "env-steps/s",
         "vs_baseline": round(headline / max(single_sps, 1e-9), 2),
         "train_canonical_env_steps_per_s": round(train_sps, 1),

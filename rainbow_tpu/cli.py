@@ -120,11 +120,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def parse_config(argv=None):
     args = build_parser().parse_args(argv)
-    cfg = cfg_mod.PRESETS[args.preset]()
+    probe = cfg_mod.PRESETS[args.preset]()
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k not in ("preset", "evaluate", "resume")
-                 and hasattr(cfg, k)}
-    return cfg.replace(**overrides), args
+                 and hasattr(probe, k)}
+    # Build the preset WITH the CLI overrides as its kwargs, not on top of
+    # the finished preset: preset functions derive dependent fields from
+    # their inputs (the throughput preset sqrt-scales lr from batch_size),
+    # so `--preset throughput --batch-size 512` must reach the derivation,
+    # not silently keep the lr tuned for the preset's default batch
+    # (ADVICE r4).
+    cfg = cfg_mod.PRESETS[args.preset](**overrides)
+    return cfg, args
 
 
 def main(argv=None):

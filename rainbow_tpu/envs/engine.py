@@ -47,10 +47,19 @@ def _load_lib() -> ctypes.CDLL:
     # Always invoke make: a no-op when the .so is current, a rebuild when
     # sources are newer (a stale prebuilt .so would silently run old game
     # dynamics and lack newer symbols). The Makefile links via tmp+mv, so
-    # processes holding the old mapping are unaffected.
+    # processes holding the old mapping are unaffected. The build is
+    # serialised with an flock so simultaneously launched processes (e.g.
+    # the 2-process jax.distributed path) cannot interleave compiler writes
+    # into the same tmp file and produce a corrupt .so (ADVICE r4).
     try:
-        subprocess.run(["make", "-C", _CPP_DIR], check=True,
-                       capture_output=True)
+        with open(os.path.join(_CPP_DIR, ".build.lock"), "w") as lockf:
+            import fcntl
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                subprocess.run(["make", "-C", _CPP_DIR], check=True,
+                               capture_output=True)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
     except (OSError, subprocess.CalledProcessError):
         if not os.path.exists(_LIB_PATH):  # no toolchain AND no binary
             raise

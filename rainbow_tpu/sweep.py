@@ -66,11 +66,13 @@ def run_sweep(argv=None) -> dict:
     if args.games == ["atari100k"]:
         from rainbow_tpu.envs.engine import ATARI_100K_GAMES
         args.games = list(ATARI_100K_GAMES)
-    cfg = cfg_mod.PRESETS[args.preset]()
+    probe = cfg_mod.PRESETS[args.preset]()
     overrides = {k: v for k, v in vars(args).items()
-                 if v is not None and hasattr(cfg, k)
+                 if v is not None and hasattr(probe, k)
                  and k not in ("games", "shard_index", "shard_count")}
-    cfg = cfg.replace(**overrides)
+    # Overrides go through the preset function's kwargs so derived fields
+    # (e.g. the throughput preset's batch-dependent lr) see them (ADVICE r4).
+    cfg = cfg_mod.PRESETS[args.preset](**overrides)
 
     my_games: List[str] = [g for i, g in enumerate(args.games)
                            if i % args.shard_count == args.shard_index]

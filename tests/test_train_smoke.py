@@ -319,6 +319,12 @@ def test_throughput_preset_preserves_sample_ratio():
         tp.batch_size / tp.replay_frequency == 8.0
     assert tp.learning_rate == pytest.approx(
         can.learning_rate * (tp.batch_size / can.batch_size) ** 0.5)
+    # CLI overrides must reach the preset's lr derivation (ADVICE r4:
+    # `--preset throughput --batch-size 512` silently kept the batch-256 lr).
+    from rainbow_tpu.cli import parse_config
+    cfg, _ = parse_config(["--preset", "throughput", "--batch-size", "512"])
+    assert cfg.batch_size == 512
+    assert cfg.learning_rate == pytest.approx(6.25e-5 * (512 / 32) ** 0.5)
     # Trainer cadence: samples per env-step stays 8 at any env count.
     for envs in (32, 256, 1024):
         for cfg in (can.replace(num_envs=envs), tp.replace(num_envs=envs)):
