@@ -545,7 +545,6 @@ class Trainer:
         # devices (parallel/multihost.py): agent replicated globally, each
         # host's replay rows living on its own devices, pmean/pmax
         # collectives riding ICI within a host and DCN across hosts.
-        self._dist_learn = None
         self._learn_raw = None
         if self.multi_process:
             from rainbow_tpu.parallel.learner import make_distributed_learn
@@ -572,21 +571,19 @@ class Trainer:
             assert cfg.num_envs % n_dev == 0, (
                 f"num_envs {cfg.num_envs} must divide over {n_dev} devices")
             self.mesh = make_mesh(self._devices)
-            self._dist_learn = make_distributed_learn(
-                self.mesh, cfg, self.action_space, self.learns_per_iter)
+            # Raw shard_map round embedded inside the fused per-iteration
+            # program (train_iter_mp works unchanged in a single process:
+            # same replicated-agent/env-sharded-replay contract, no
+            # multihost plumbing) — the local multi-device topology now
+            # gets the single-dispatch fast path too (VERDICT r4 item 6;
+            # the split actor/learner structure it replaces measured
+            # 150-350 ms/iteration of dispatch stalls on remote backends).
+            self._learn_raw = make_distributed_learn(
+                self.mesh, cfg, self.action_space, self.learns_per_iter,
+                jitted=False)
             self.agent, self.rep, _ = shard_states(
                 self.mesh, self.agent, self.rep,
                 jnp.zeros((cfg.num_envs, 1, 1, 1)))
-
-    def _run_learner_round(self, beta, key):
-        # np.float32 (not jnp.float32): the jnp form is an eager device op
-        # per call; a numpy scalar is uploaded at dispatch for free.
-        if self._dist_learn is not None:
-            return self._dist_learn(self.agent, self.rep,
-                                    np.float32(beta), key)
-        return learner_round(self.agent, self.rep, self.cfg,
-                             self.action_space, self.learns_per_iter,
-                             np.float32(beta), key)
 
     def _eval_params(self):
         """Params usable in plain (single-process) jit computations: the
@@ -644,7 +641,8 @@ class Trainer:
                 jax.tree.map(jnp.asarray, st["agent"]), self.cfg)
             if "replay" in st:
                 self.rep = jax.tree.map(jnp.asarray, st["replay"])
-            if self._dist_learn is not None:  # re-apply the DP shardings
+            if self.cfg.data_parallel and not self.multi_process:
+                # re-apply the DP shardings
                 from rainbow_tpu.parallel.learner import shard_states
                 self.agent, self.rep, _ = shard_states(
                     self.mesh, self.agent, self.rep,
@@ -829,7 +827,7 @@ class Trainer:
             from jax.sharding import PartitionSpec as P
             from rainbow_tpu.parallel.multihost import globalize, local_rows
             stack = globalize(self.mesh, np.asarray(stack), P("data"))
-        elif self._dist_learn is not None:
+        elif cfg.data_parallel:
             from rainbow_tpu.parallel.mesh import env_sharded
             stack = jax.device_put(stack, env_sharded(self.mesh))
         self.loop_key, k0 = ag.split2(self.loop_key)
@@ -852,6 +850,19 @@ class Trainer:
             return (g(obs), g(resets), g(rewards, np.float32),
                     g(dones.astype(bool)), g(kinds))
 
+        def stage_args_dp(a_np):
+            """Single-process data-parallel staging: engine step, then
+            device_put each output env-sharded over the local mesh (dense
+            reset frames, like the mp path) so the fused program's inputs
+            arrive pre-sharded instead of jit inserting reshards."""
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(self.mesh, P("data"))
+            obs, resets, rewards, dones, kinds = env_step(a_np)
+            g = lambda x, dt=None: jax.device_put(
+                np.ascontiguousarray(x, dt), shard)
+            return (g(obs), g(resets), g(rewards, np.float32),
+                    g(dones.astype(bool)), g(kinds))
+
         def fused_dispatch_mp(tail, a_exec, stack, num_learns, beta,
                               sync_target):
             """ONE SPMD program per multi-process iteration (train_iter_mp):
@@ -867,45 +878,18 @@ class Trainer:
                 self._last_loss = loss
             return actions, stack
 
-        def device_update(step_out, a_exec, stack, rep, act_args=None):
-            """Dispatch the fused per-step device program for one engine
-            step, choosing among dense / sparse-delta observation forms.
-            With act_args=(params, noise_key) the fused program also selects
-            the next actions and (actions, stack, rep) is returned."""
-            if use_delta:
-                counts, dpos, dval, resets, rewards, dones, kinds = step_out
-                if counts is None:  # engine chose the dense fallback
-                    obs_form = (jnp.asarray(dpos),)
-                    fns = (actor_step_packed, update_step_packed)
-                else:
-                    ppos, pval = pack_delta(dpos, dval)
-                    obs_form = (jnp.asarray(counts), jnp.asarray(ppos),
-                                jnp.asarray(pval))
-                    fns = (actor_step_delta, update_step_delta)
-            else:
-                obs, resets, rewards, dones, kinds = step_out
-                obs_form = (jnp.asarray(obs),)
-                fns = (actor_step_packed, update_step_packed)
-            packed, ridx = pack_resets(resets, kinds)
-            tail = (*obs_form, jnp.asarray(packed), jnp.asarray(ridx),
-                    jnp.asarray(rewards), jnp.asarray(dones.astype(bool)),
-                    jnp.asarray(kinds))
-            if act_args is not None:
-                return fns[0](act_args[0], act_args[1], cfg,
-                              self.action_space, stack, rep, a_exec, *tail)
-            return fns[1](cfg, self.action_space, stack, rep, a_exec, *tail)
-
         # Fused fast paths: the whole iteration (append + noise redraw +
         # act + learner round + target sync) is ONE device program
-        # (train_iter_* single-process, train_iter_mp multi-process).
+        # (train_iter_* single-process single-device, train_iter_mp for
+        # both multi-process and single-process multi-device DP).
         # Separate actor/learner dispatches stall the dispatch pipeline
         # resolving cross-program donation of the replay buffers (150-350
         # ms/iteration measured); fused, each iteration chains on the
-        # previous one at device speed. Only single-process data_parallel
-        # retains the split-dispatch structure.
-        fused_sp = not self.multi_process and self._dist_learn is None
+        # previous one at device speed.
+        fused_sp = not self.multi_process and not cfg.data_parallel
+        fused_dp = not self.multi_process and cfg.data_parallel
         fused_mp = self.multi_process
-        fused = fused_sp or fused_mp
+        fused = True
         num_cells = self.envs_local * cfg.frame_size * cfg.frame_size
         self._delta_floor = 0
         # Floor ratchet cap: the floor is rounded UP to a bucket by
@@ -974,7 +958,7 @@ class Trainer:
             pending_a = action_queue.popleft()
             action_queue.append(pending_a)  # keep queue depth D
             stage_fn = (stage_args_mp if fused_mp
-                        else stage_args if fused_sp else env_step)
+                        else stage_args_dp if fused_dp else stage_args)
             fut = pool.submit(stage_fn,
                               local_rows(pending_a) if fused_mp
                               else np.asarray(pending_a))
@@ -1052,10 +1036,12 @@ class Trainer:
                 pa_np = (local_rows(pending_a) if fused_mp
                          else np.asarray(pending_a))  # settled: free
                 self.timer.stop("fetch")
-                fut = pool.submit(stage_args_mp if fused_mp else stage_args,
+                fut = pool.submit(stage_args_mp if fused_mp
+                                  else stage_args_dp if fused_dp
+                                  else stage_args,
                                   pa_np)  # engine step t+1
                 self.timer.start("actor")
-                if fused_mp:
+                if fused_mp or fused_dp:
                     a_new, stack = fused_dispatch_mp(
                         staged, a_exec, stack, num_learns, beta, sync_target)
                 else:
@@ -1076,7 +1062,7 @@ class Trainer:
                 # un-settled programs independently.
                 self.timer.start("settle")
                 h_new = self._last_loss if num_learns else a_new
-                if not fused_mp and num_learns:
+                if fused_sp and num_learns:
                     # (a_new's copy is already in flight from two lines up)
                     h_new.copy_to_host_async()  # value lands while later
                     # programs run; the pop below then completes without
@@ -1084,20 +1070,23 @@ class Trainer:
                 self._settle_q.append(h_new)
                 if len(self._settle_q) > max(cfg.settle_window, 0):
                     h = self._settle_q.popleft()
-                    if fused_mp:
+                    if fused_mp or fused_dp:
                         jax.block_until_ready(h)
                     else:
                         np.asarray(h)
                 self.timer.stop("settle")
-            elif fused:
+            else:
                 self.timer.start("env")
-                staged = (stage_args_mp if fused_mp else stage_args)(acts_np)
+                staged = (stage_args_mp if fused_mp
+                          else stage_args_dp if fused_dp
+                          else stage_args)(acts_np)
                 self.timer.stop("env")
                 self.timer.start("actor")
-                if fused_mp:
+                if fused_mp or fused_dp:
                     actions, stack = fused_dispatch_mp(
                         staged, actions, stack, num_learns, beta, sync_target)
-                    acts_np = local_rows(actions)
+                    acts_np = (local_rows(actions) if fused_mp
+                               else np.asarray(actions))
                 else:
                     is_delta, tail = staged
                     actions, stack = fused_dispatch(is_delta, tail, actions,
@@ -1105,67 +1094,7 @@ class Trainer:
                                                     sync_target)
                     acts_np = np.asarray(actions)
                 self.timer.stop("actor")
-            elif cfg.pipeline_actor:
-                # ONE fused async dispatch per iteration (append + stack
-                # update + next-action selection), engine overlapped: while
-                # the device program for step t drains asynchronously and
-                # its upload is staged, the worker thread runs engine step
-                # t+1. The depth-D action queue means the actions executing
-                # now were computed D steps ago — their device->host copy
-                # has settled, so the fetch is free. (Round 1 split this
-                # into two dispatches — update + act — which doubled the
-                # per-iteration dispatch RTT and made pipelined-dense SLOWER
-                # than serial on the remote chip.)
-                self.timer.start("env")
-                step_out = fut.result()  # engine output for step t
-                self.timer.stop("env")
-                a_exec = pending_a
-                pending_a = action_queue.popleft()
-                self.timer.start("fetch")
-                pa_np = np.asarray(pending_a)  # settled: free
-                self.timer.stop("fetch")
-                fut = pool.submit(env_step, pa_np)  # engine step t+1
-                self.timer.start("actor")
-                a_new, stack, self.rep = device_update(
-                    step_out, a_exec, stack, self.rep,
-                    act_args=(self.agent.params, self.agent.noise_key))
-                a_new.copy_to_host_async()
-                action_queue.append(a_new)
-                self.timer.stop("actor")
-                # Same bounded in-flight window as the fused branch: for
-                # pipeline_depth > settle_window the depth-D action queue
-                # alone leaves D un-settled programs queued, which is the
-                # remote runtime's queueing-collapse regime (see the fused
-                # branch's settle note). a_new's copy is already in flight,
-                # so the pop is a wait, not an extra round trip.
-                self.timer.start("settle")
-                self._settle_q.append(a_new)
-                if len(self._settle_q) > max(cfg.settle_window, 0):
-                    np.asarray(self._settle_q.popleft())
-                self.timer.stop("settle")
-            else:  # single-process data_parallel, serial
-                self.timer.start("env")
-                step_out = env_step(acts_np)
-                self.timer.stop("env")
-                self.timer.start("actor")
-                actions, stack, self.rep = device_update(
-                    step_out, actions, stack, self.rep,
-                    act_args=(self.agent.params, self.agent.noise_key))
-                acts_np = np.asarray(actions)
-                self.timer.stop("actor")
-
             if learning:
-                if not fused:
-                    beta = min(1.0, cfg.priority_weight
-                               + (self.T - cfg.learn_start) * self.beta_rate)
-                    if do_learn:
-                        self.timer.start("learn")
-                        self.loop_key, k = ag.split2(self.loop_key)
-                        self.agent, self.rep, loss = self._run_learner_round(
-                            beta, k)
-                        self._last_loss = loss
-                        self.timer.stop("learn")
-
                 if self.T >= next_target_sync:  # main.py:177-178
                     if fused and sync_target:
                         pass  # synced inside the fused program this iteration
