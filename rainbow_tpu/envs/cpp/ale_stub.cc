@@ -16,6 +16,7 @@
 // RAINBOW_ALE_ROM_DIR at a dir containing <game>.bin.
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 
@@ -99,15 +100,35 @@ void getMinimalActionSet(void*, int* out) {
   out[3] = 14;
 }
 
-int getScreenWidth(void*) { return 160; }
-int getScreenHeight(void*) { return 210; }
+// Screen geometry: 210x160 by default; STUB_SCREEN="HxW" overrides so the
+// engine's defensive clamp for odd ALE screen sizes (ale_backend.cc
+// screen()) can be exercised end-to-end.
+static void screen_dims(int* h, int* w) {
+  *h = 210;
+  *w = 160;
+  if (const char* s = std::getenv("STUB_SCREEN"))
+    std::sscanf(s, "%dx%d", h, w);
+}
+
+int getScreenWidth(void*) {
+  int h, w;
+  screen_dims(&h, &w);
+  return w;
+}
+int getScreenHeight(void*) {
+  int h, w;
+  screen_dims(&h, &w);
+  return h;
+}
 
 void getScreenGrayscale(void* p, unsigned char* out) {
   Stub* s = static_cast<Stub*>(p);
-  std::memset(out, 0, 210 * 160);
-  int row = s->episode_frame % 200;
-  std::memset(out + row * 160, 255, 160);                          // sweep bar
-  std::memset(out + 205 * 160, 10 * (s->last_action + 1), 160);    // action stripe
+  int h, w;
+  screen_dims(&h, &w);
+  std::memset(out, 0, (size_t)h * w);
+  int row = s->episode_frame % (h - 10);
+  std::memset(out + (size_t)row * w, 255, w);                      // sweep bar
+  std::memset(out + (size_t)(h - 5) * w, 10 * (s->last_action + 1), w);  // action stripe
 }
 
 }  // extern "C"
