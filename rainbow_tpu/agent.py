@@ -44,16 +44,18 @@ def make_optimizer(cfg: RainbowConfig) -> optax.GradientTransformation:
     """Global-norm clip (10) + Adam(6.25e-5, eps 1.5e-4) — reference
     agent.py:46, agent.py:97-98, main.py:43-47.
 
-    optax.flatten runs the whole chain over ONE concatenated vector instead
-    of the 22-leaf params pytree: the global-norm reduce and the Adam
-    moment/param updates become a handful of fused kernels instead of
-    per-leaf chains — the learner round is latency-bound on exactly such
-    small kernels (docs/results_r3). Mathematically identical."""
+    Round 3 wrapped the chain in optax.flatten to cut kernel count; the
+    round-5 trace showed the flatten\'s per-update ravel concatenate alone
+    costing 0.155 ms/update (40 ms of a 210 ms canonical iteration at 1024
+    envs) while current XLA fuses the per-leaf chain better anyway:
+    unflattened measured 170 ms/iteration vs 210 flattened on the same
+    workload. Mathematically identical either way; adapt_opt_state migrates
+    checkpoints between the two layouts."""
     mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
-    return optax.flatten(optax.chain(
+    return optax.chain(
         optax.clip_by_global_norm(cfg.norm_clip),
         optax.adam(cfg.learning_rate, eps=cfg.adam_eps, mu_dtype=mu_dtype),
-    ))
+    )
 
 
 def init_agent(key: jax.Array, cfg: RainbowConfig,
@@ -259,10 +261,42 @@ def adapt_opt_state(agent: AgentState, cfg: RainbowConfig) -> AgentState:
     try:
         from jax.flatten_util import ravel_pytree
 
+        flat_template, unravel = ravel_pytree(agent.params)
+
+        def find_mu(node):
+            if hasattr(node, "mu"):
+                return node.mu
+            if isinstance(node, tuple):
+                for x in node:
+                    got = find_mu(x)
+                    if got is not None:
+                        return got
+            return None
+
+        def is_flat(moments):
+            return (isinstance(moments, jax.Array)
+                    and getattr(moments, "ndim", None) == 1)
+
+        want_flat = is_flat(find_mu(fresh))
+
+        def to_match(moments):
+            """Convert stored Adam moments to the current optimizer layout:
+            per-leaf -> ravelled (flattened optimizer) or ravelled ->
+            per-leaf (plain chain), preserving the exact values. Unravel
+            follows the params tree structure; the moment dtype (e.g. bf16
+            mu) is preserved per leaf."""
+            if want_flat and not is_flat(moments):
+                return ravel_pytree(moments)[0]
+            if not want_flat and is_flat(moments):
+                dtype = moments.dtype
+                tree = unravel(jnp.asarray(moments, flat_template.dtype))
+                return jax.tree.map(lambda x: x.astype(dtype), tree)
+            return moments
+
         def convert(node):
             if hasattr(node, "mu") and hasattr(node, "nu"):
-                return node._replace(mu=ravel_pytree(node.mu)[0],
-                                     nu=ravel_pytree(node.nu)[0])
+                return node._replace(mu=to_match(node.mu),
+                                     nu=to_match(node.nu))
             if hasattr(node, "_fields"):  # other namedtuple states
                 return type(node)(*(convert(x) for x in node))
             if isinstance(node, tuple):

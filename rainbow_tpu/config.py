@@ -72,9 +72,14 @@ class RainbowConfig:
     # bf16 ulp at steady state, so a bf16 nu would silently freeze.
     env_backend: str = "native"        # 'native' (C++ engine) | 'fake' (python fixture)
     life_every: int = 0                # fake backend: life loss every k steps (0 = never)
-    per_env_noise: bool = False        # independent NoisyNet draw per env row
-    # at act time (decorrelated batched exploration). Off = one shared noise
-    # sample for the whole act batch — the reference's single-env semantics.
+    per_env_noise: bool = True         # independent NoisyNet draw per env row
+    # at act time — the batched-native generalisation of the reference's
+    # single-env noise (its one env trivially has its own draw). Default ON
+    # since round 5: with a SHARED draw, deterministic-start maze games
+    # collapse the whole fleet to ~1 effective explorer (bank_heist learned
+    # literally nothing in 100k steps: Q -> 0.0; with per-env noise, 640 vs
+    # random 128 — docs/results_r5). Costs ~2% actor throughput at 1024
+    # envs. Off = one shared noise sample for the whole act batch.
     pipeline_actor: bool = False       # overlap engine stepping with device
     # compute by accepting a 1-step policy lag (actions for step t+1 are
     # computed from state t). Off by default for strict reference parity;

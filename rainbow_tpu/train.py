@@ -244,16 +244,22 @@ def _train_iter_core(cfg: RainbowConfig, action_space: int, num_learns: int,
     chains at full device speed (measured 1.6 ms per 64-update round).
     num_learns=0 compiles the warmup specialisation (no learner, no noise
     advance — reference main.py:160 gates all of it on T >= learn_start)."""
-    stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
-                              reset_frames, rewards, dones, kinds)
     loss = jnp.zeros(())
     if num_learns:
-        # Online-noise redraw once per learn cadence (reference
-        # main.py:150-151); the scanned round redraws again per update.
-        agent = ag.reset_noise(agent)
-    actions = ag.act(agent.params, cfg, action_space,
-                     to_network_input(stack), agent.noise_key)
-    if num_learns:
+        # Learner round FIRST, against the PRE-append replay snapshot. The
+        # rows this iteration appends sit within (history, n_step) of the
+        # write head, which the sampling validity mask excludes — the round
+        # sees an identical valid set either way (the distribution lags the
+        # head by one iteration, the same staleness class as the round-
+        # snapshot sampling itself). What the order buys: the 7 GB frames
+        # ring then has exactly one use-order — windowed gather, THEN the
+        # in-place donated append — so XLA keeps the buffer aliased
+        # in-place. Gathering from the just-appended ring (round-4 order)
+        # forced a second, layout-converted copy of the whole ring, pushing
+        # the program over HBM and triggering compressed-remat spills: the
+        # round-5 trace measured ~180 ms/iteration of compress/uncompress
+        # traffic at 1024 envs — more than the 256-update round itself.
+        agent = ag.reset_noise(agent)  # main.py:150-151 cadence redraw
         loop_key, k = jax.random.split(loop_key)
         rep_ro = rep.replace(priorities=jnp.zeros((0,)),
                              max_priority=jnp.zeros(()))
@@ -268,6 +274,10 @@ def _train_iter_core(cfg: RainbowConfig, action_space: int, num_learns: int,
         agent = agent.replace(target_params=jax.tree.map(
             lambda p, t: jnp.where(sync_target, p, t),
             agent.params, agent.target_params))
+    stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
+                              reset_frames, rewards, dones, kinds)
+    actions = ag.act(agent.params, cfg, action_space,
+                     to_network_input(stack), agent.noise_key)
     return actions, agent, stack, rep, loop_key, loss
 
 
@@ -320,19 +330,21 @@ def train_iter_mp(cfg: RainbowConfig, action_space: int, num_learns: int,
     already did): the single-process packed form needs a reset-count bucket
     that every process would have to agree on per step, and episode-cap
     resets arrive in bursts that defeat any small static bucket."""
-    stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
-                              reset_frames, rewards, dones, kinds)
     loss = jnp.zeros(())
     if num_learns:
+        # Learner-before-append, as in _train_iter_core: identical valid
+        # sample set (head-proximity mask), and the donated frames ring
+        # keeps its single in-place use-order.
         agent = ag.reset_noise(agent)
-    actions = ag.act(agent.params, cfg, action_space,
-                     to_network_input(stack), agent.noise_key)
-    if num_learns:
         loop_key, k = jax.random.split(loop_key)
         agent, rep, loss = learn_fn(agent, rep, beta, k)
         agent = agent.replace(target_params=jax.tree.map(
             lambda p, t: jnp.where(sync_target, p, t),
             agent.params, agent.target_params))
+    stack, rep = _update_core(cfg, stack, rep, prev_actions, obs,
+                              reset_frames, rewards, dones, kinds)
+    actions = ag.act(agent.params, cfg, action_space,
+                     to_network_input(stack), agent.noise_key)
     return actions, agent, stack, rep, loop_key, loss
 
 

@@ -69,10 +69,13 @@ def test_sharded_leaf_roundtrip_single_process(tmp_path):
     assert mask == {"x": False, "r": False}  # fully addressable: complete
 
 
-def test_restore_preflatten_optimizer_state(tmp_path):
-    """Checkpoints written before the flattened optimizer (per-leaf Adam
-    moments) must restore into the flat structure with the moments intact
-    (ravelled in the same order), not re-initialised."""
+def test_restore_flattened_optimizer_state(tmp_path):
+    """Optimizer-layout migration, both directions. Rounds 3-4 wrapped the
+    chain in optax.flatten (one ravelled moment vector); round 5 went back
+    to the per-leaf chain for speed. Checkpoints written under EITHER
+    layout must restore into the current one with the Adam moments intact
+    (ravelled/unravelled in params order), not re-initialised — e.g. the
+    committed pong_20m checkpoints store flat moments."""
     import optax
     from jax.flatten_util import ravel_pytree
 
@@ -83,15 +86,16 @@ def test_restore_preflatten_optimizer_state(tmp_path):
     cfg = rainbow_tpu.data_efficient(num_envs=2, memory_capacity=2 * 64,
                                      hidden_size=16, multi_step=3)
     agent = ag.init_agent(jax.random.key(0), cfg, 4)
-    # Fabricate the legacy structure: unflattened chain(clip, adam) with
-    # distinctive nonzero moments.
-    legacy_opt = optax.chain(
+    # Fabricate the round-3/4 FLAT structure with distinctive moments.
+    legacy_opt = optax.flatten(optax.chain(
         optax.clip_by_global_norm(cfg.norm_clip),
-        optax.adam(cfg.learning_rate, eps=cfg.adam_eps))
+        optax.adam(cfg.learning_rate, eps=cfg.adam_eps)))
     legacy_state = legacy_opt.init(agent.params)
+    distinct_mu = jax.tree.map(
+        lambda p: jnp.full_like(p, 0.25), agent.params)
+    distinct_nu = jax.tree.map(lambda p: jnp.full_like(p, 0.5), agent.params)
     adam_inner = legacy_state[1][0]._replace(
-        mu=jax.tree.map(lambda p: jnp.full_like(p, 0.25), agent.params),
-        nu=jax.tree.map(lambda p: jnp.full_like(p, 0.5), agent.params))
+        mu=ravel_pytree(distinct_mu)[0], nu=ravel_pytree(distinct_nu)[0])
     legacy_state = (legacy_state[0],
                     (adam_inner,) + tuple(legacy_state[1][1:]))
     agent_legacy = agent.replace(opt_state=legacy_state)
@@ -103,12 +107,19 @@ def test_restore_preflatten_optimizer_state(tmp_path):
     fresh = ag.make_optimizer(cfg).init(agent.params)
     assert jax.tree_util.tree_structure(adapted.opt_state) == \
         jax.tree_util.tree_structure(fresh)
-    expect_mu = ravel_pytree(adam_inner.mu)[0]
-    np.testing.assert_allclose(np.asarray(adapted.opt_state[1][0].mu),
-                               np.asarray(expect_mu))
+    adapted_mu = adapted.opt_state[1][0].mu
+    for got, want in zip(jax.tree_util.tree_leaves(adapted_mu),
+                         jax.tree_util.tree_leaves(distinct_mu)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
     # And the adapted state must be immediately usable.
     grads = jax.tree.map(jnp.ones_like, agent.params)
     ag.apply_grads(adapted, cfg, grads, adapted.rng)
+
+    # Same-layout checkpoints pass through untouched.
+    current = ag.make_optimizer(cfg).init(agent.params)
+    same = ag.adapt_opt_state(agent.replace(opt_state=current), cfg)
+    assert jax.tree_util.tree_structure(same.opt_state) == \
+        jax.tree_util.tree_structure(current)
 
 
 def test_bfloat16_leaves_roundtrip_exact(tmp_path):
