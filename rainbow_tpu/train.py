@@ -959,21 +959,33 @@ class Trainer:
         # set (a brief startup transient; lag settles to D steps).
         from collections import deque
         action_queue = deque([actions] * max(cfg.pipeline_depth, 1))
-        pool = fut = None
+        pool = fut = fetch_pool = None
+        fetch_q = deque()
+        to_host = (local_rows if fused_mp else np.asarray)
         if cfg.pipeline_actor:
             # Overlapped pipeline: the engine computes step t+1 on a worker
             # thread while the main thread stages step t's upload and issues
             # the single fused async device dispatch. The engine's output
             # buffers are double-buffered (envs/engine.py) so step t's
             # arrays stay valid while t+1 writes.
+            #
+            # Action PREFETCH pool: the device->host action fetch costs a
+            # full tunnel RTT on remote links, and paying it inline between
+            # the worker's engine jobs made small-env runs fetch-bound (the
+            # round-5 suite heartbeats showed fetch=69% of wall at 64
+            # envs). Each produced action array's fetch is submitted
+            # immediately on its own thread, so up to pipeline_depth
+            # fetches overlap each other AND the device chain; the loop
+            # then collects a fetch issued D iterations ago.
             pool = ThreadPoolExecutor(1)
+            fetch_pool = ThreadPoolExecutor(3)
             pending_a = action_queue.popleft()
             action_queue.append(pending_a)  # keep queue depth D
+            for a in list(action_queue):
+                fetch_q.append(fetch_pool.submit(to_host, a))
             stage_fn = (stage_args_mp if fused_mp
                         else stage_args_dp if fused_dp else stage_args)
-            fut = pool.submit(stage_fn,
-                              local_rows(pending_a) if fused_mp
-                              else np.asarray(pending_a))
+            fut = pool.submit(stage_fn, to_host(pending_a))
         it = 0
         # Schedule marks relative to the current T (exact after resume).
         nxt = lambda interval: ((self.T // interval) + 1) * interval \
@@ -1045,8 +1057,7 @@ class Trainer:
                 a_exec = pending_a
                 pending_a = action_queue.popleft()
                 self.timer.start("fetch")
-                pa_np = (local_rows(pending_a) if fused_mp
-                         else np.asarray(pending_a))  # settled: free
+                pa_np = fetch_q.popleft().result()  # prefetched D iters ago
                 self.timer.stop("fetch")
                 fut = pool.submit(stage_args_mp if fused_mp
                                   else stage_args_dp if fused_dp
@@ -1061,8 +1072,8 @@ class Trainer:
                     a_new, stack = fused_dispatch(is_delta, tail, a_exec,
                                                   stack, num_learns, beta,
                                                   sync_target)
-                a_new.copy_to_host_async()
                 action_queue.append(a_new)
+                fetch_q.append(fetch_pool.submit(to_host, a_new))
                 self.timer.stop("actor")
                 # Bounded in-flight window (cfg.settle_window): settle the
                 # iteration from W back via a real device→host value fetch.
